@@ -1,0 +1,96 @@
+"""Frontend tests: framing, log-mel vs a straightforward numpy/scipy-free
+reference, CMVN, LFR stacking vs a python-loop reference."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from tpu_asr import frontend as F
+
+
+CFG = F.FrontendConfig()
+
+
+def ref_logmel(wav, cfg):
+    """Independent numpy implementation (rfft-based) as the oracle."""
+    n = cfg.num_frames(len(wav))
+    win = F._window_coeffs(cfg)
+    mel = F.mel_filterbank(cfg)
+    out = np.zeros((n, cfg.num_mel_bins))
+    for i in range(n):
+        fr = wav[i * cfg.frame_shift: i * cfg.frame_shift + cfg.frame_length].astype(np.float64)
+        fr = fr - fr.mean()
+        fr = fr - cfg.preemphasis * np.concatenate([fr[:1], fr[:-1]])
+        fr = fr * win
+        spec = np.abs(np.fft.rfft(fr, cfg.fft_size)) ** 2
+        out[i] = np.log(np.maximum(spec @ mel, cfg.log_floor))
+    return out
+
+
+def test_num_frames():
+    assert CFG.frame_length == 400 and CFG.frame_shift == 160
+    assert CFG.fft_size == 512
+    assert CFG.num_frames(400) == 1
+    assert CFG.num_frames(399) == 0
+    assert CFG.num_frames(16000) == 98
+
+
+def test_logmel_matches_numpy_reference(rng):
+    wav = rng.standard_normal(4000).astype(np.float32)
+    got = np.asarray(F.log_mel_spectrogram(jnp.asarray(wav)[None], CFG))[0]
+    want = ref_logmel(wav, CFG)
+    assert got.shape == want.shape == (CFG.num_frames(4000), 80)
+    np.testing.assert_allclose(got, want, rtol=1e-3, atol=1e-3)
+
+
+def test_mel_filterbank_covers_spectrum():
+    fb = F.mel_filterbank(CFG)
+    assert fb.shape == (257, 80)
+    # Each filter has some mass; interior bins covered by at least one filter.
+    assert (fb.sum(axis=0) > 0).all()
+    coverage = fb.sum(axis=1)
+    lo_bin = int(np.ceil(CFG.low_freq / (CFG.sample_rate / CFG.fft_size))) + 2
+    assert (coverage[lo_bin:-2] > 0).all()
+
+
+def test_cmvn_masks_padding(rng):
+    x = rng.standard_normal((2, 50, 8)).astype(np.float32)
+    lengths = jnp.asarray([50, 30])
+    out = np.asarray(F.cmvn(jnp.asarray(x), lengths))
+    # valid region of utt 1 is zero-mean unit-var
+    v = out[1, :30]
+    np.testing.assert_allclose(v.mean(axis=0), 0, atol=1e-5)
+    np.testing.assert_allclose(v.std(axis=0), 1, atol=1e-3)
+
+
+def test_lfr_matches_loop(rng):
+    x = rng.standard_normal((10, 4)).astype(np.float32)
+    m, n = 4, 3
+    got = np.asarray(F.build_lfr_features(jnp.asarray(x), m, n))
+    t_out = (10 + n - 1) // n
+    assert got.shape == (t_out, m * 4)
+    for i in range(t_out):
+        want = np.concatenate([x[min(i * n + j, 9)] for j in range(m)])
+        np.testing.assert_allclose(got[i], want)
+
+
+def test_wav_to_features_zeroes_padding(rng):
+    wav = rng.standard_normal((2, 8000)).astype(np.float32)
+    lengths = jnp.asarray([8000, 4000])
+    feats, flen = F.wav_to_features(jnp.asarray(wav), lengths, CFG)
+    flen = np.asarray(flen)
+    assert flen[0] == CFG.num_frames(8000)
+    assert flen[1] == CFG.num_frames(4000)
+    assert np.all(np.asarray(feats)[1, flen[1]:] == 0)
+
+
+def test_spec_augment_shapes(rng):
+    import jax
+    from tpu_asr.augment import spec_augment, SpecAugmentConfig
+    feats = jnp.asarray(rng.standard_normal((3, 100, 80)).astype(np.float32))
+    lengths = jnp.asarray([100, 60, 20])
+    out = spec_augment(jax.random.PRNGKey(0), feats, lengths, SpecAugmentConfig())
+    assert out.shape == feats.shape
+    # Some but not all values masked
+    zeroed = np.asarray(out == 0).mean()
+    assert 0.0 < zeroed < 0.9

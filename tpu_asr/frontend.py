@@ -1,0 +1,237 @@
+"""On-device acoustic frontend: waveform -> 80-dim log-mel fbank.
+
+TPU-native replacement for the reference's *offline* Kaldi feature pipeline
+(reference: egs/aishell/run.sh stages 1-2 — `compute-fbank-feats`,
+`compute-cmvn-stats`, `apply-cmvn`, all host-side C++) and for the LFR frame
+stacking done in its data loader (reference: src/data/data.py
+`build_LFR_features(x, m, n)`).
+
+Everything here is pure jnp on statically-shaped, padded batches, so the whole
+frontend fuses into the first encoder matmuls under jit. Batches of raw
+waveforms stream HBM->VMEM once; framing is a reshape/gather, the DFT is a
+matmul on the MXU (precomputed real/imag DFT basis — faster than jnp.fft.rfft
+for these small fixed sizes and bf16-friendly), and the mel projection is
+another matmul.
+
+Conventions follow Kaldi fbank defaults (dither off): 25 ms window / 10 ms
+hop @ 16 kHz, remove-DC-offset per frame, preemphasis 0.97, povey window,
+512-point FFT, 80 mel bins from 20 Hz to Nyquist, natural log, snip-edges.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+@dataclasses.dataclass(frozen=True)
+class FrontendConfig:
+    sample_rate: int = 16000
+    frame_length_ms: float = 25.0
+    frame_shift_ms: float = 10.0
+    num_mel_bins: int = 80
+    low_freq: float = 20.0
+    high_freq: float = 0.0       # <= 0 means offset from Nyquist (Kaldi style)
+    preemphasis: float = 0.97
+    window: str = "povey"        # povey | hann | hamming
+    use_log: bool = True
+    log_floor: float = 1e-10
+    remove_dc: bool = True
+    dtype: jnp.dtype = jnp.float32
+
+    @property
+    def frame_length(self) -> int:
+        return int(self.sample_rate * self.frame_length_ms / 1000.0)
+
+    @property
+    def frame_shift(self) -> int:
+        return int(self.sample_rate * self.frame_shift_ms / 1000.0)
+
+    @property
+    def fft_size(self) -> int:
+        n = 1
+        while n < self.frame_length:
+            n *= 2
+        return n
+
+    def num_frames(self, num_samples: int) -> int:
+        """Snip-edges frame count for a given number of samples."""
+        if num_samples < self.frame_length:
+            return 0
+        return 1 + (num_samples - self.frame_length) // self.frame_shift
+
+
+def _window_coeffs(cfg: FrontendConfig) -> np.ndarray:
+    n = cfg.frame_length
+    a = 2.0 * math.pi / (n - 1)
+    i = np.arange(n, dtype=np.float64)
+    if cfg.window == "hann":
+        w = 0.5 - 0.5 * np.cos(a * i)
+    elif cfg.window == "hamming":
+        w = 0.54 - 0.46 * np.cos(a * i)
+    elif cfg.window == "povey":
+        w = (0.5 - 0.5 * np.cos(a * i)) ** 0.85
+    else:
+        raise ValueError(f"unknown window {cfg.window!r}")
+    return w.astype(np.float64)
+
+
+def mel_filterbank(cfg: FrontendConfig) -> np.ndarray:
+    """[fft_size//2+1, num_mel_bins] triangular mel filterbank (Kaldi-style)."""
+    def hz_to_mel(hz):
+        return 1127.0 * np.log(1.0 + np.asarray(hz, dtype=np.float64) / 700.0)
+
+    nyquist = cfg.sample_rate / 2.0
+    high = cfg.high_freq if cfg.high_freq > 0 else nyquist + cfg.high_freq
+    n_bins = cfg.fft_size // 2 + 1
+    mel_lo, mel_hi = hz_to_mel(cfg.low_freq), hz_to_mel(high)
+    # Bin edges in mel space: num_mel_bins + 2 points.
+    mel_pts = np.linspace(mel_lo, mel_hi, cfg.num_mel_bins + 2)
+    fft_freqs = np.arange(n_bins, dtype=np.float64) * cfg.sample_rate / cfg.fft_size
+    fft_mels = hz_to_mel(fft_freqs)
+    left, center, right = mel_pts[:-2], mel_pts[1:-1], mel_pts[2:]
+    # [n_bins, n_mels] triangle responses in mel space (Kaldi interpolates in mel).
+    up = (fft_mels[:, None] - left[None, :]) / (center - left)[None, :]
+    down = (right[None, :] - fft_mels[:, None]) / (right - center)[None, :]
+    fb = np.maximum(0.0, np.minimum(up, down))
+    return fb.astype(np.float64)
+
+
+def _dft_basis(cfg: FrontendConfig) -> tuple[np.ndarray, np.ndarray]:
+    """Real/imag DFT bases [frame_length, fft_size//2+1] (zero-padded DFT)."""
+    n_fft = cfg.fft_size
+    n_bins = n_fft // 2 + 1
+    t = np.arange(cfg.frame_length, dtype=np.float64)
+    k = np.arange(n_bins, dtype=np.float64)
+    ang = -2.0 * math.pi * t[:, None] * k[None, :] / n_fft
+    return np.cos(ang), np.sin(ang)
+
+
+@functools.lru_cache(maxsize=8)
+def _frontend_constants(cfg: FrontendConfig):
+    win = _window_coeffs(cfg)
+    cos_b, sin_b = _dft_basis(cfg)
+    # Fold the window into the DFT basis: one matmul does window+DFT.
+    cos_b = cos_b * win[:, None]
+    sin_b = sin_b * win[:, None]
+    mel = mel_filterbank(cfg)
+    f32 = np.float32
+    return (jnp.asarray(cos_b.astype(f32)), jnp.asarray(sin_b.astype(f32)),
+            jnp.asarray(mel.astype(f32)))
+
+
+def frame_signal(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """[..., S] waveform -> [..., T, frame_length] frames (snip-edges).
+
+    S must be static; T = cfg.num_frames(S).
+    """
+    num_samples = wav.shape[-1]
+    t = cfg.num_frames(num_samples)
+    starts = np.arange(t) * cfg.frame_shift
+    idx = starts[:, None] + np.arange(cfg.frame_length)[None, :]
+    return wav[..., idx]
+
+
+def log_mel_spectrogram(
+    wav: jnp.ndarray,
+    cfg: FrontendConfig = FrontendConfig(),
+) -> jnp.ndarray:
+    """Batched waveform [..., S] -> log-mel features [..., T, num_mel_bins].
+
+    Pure function of statically-shaped input; jit/pjit friendly. Padding
+    samples produce garbage frames past the true frame count — mask with
+    `frame_lengths` (see `wav_to_features`).
+    """
+    cos_b, sin_b, mel = _frontend_constants(cfg)
+    frames = frame_signal(wav.astype(jnp.float32), cfg)  # [..., T, L]
+    if cfg.remove_dc:
+        frames = frames - jnp.mean(frames, axis=-1, keepdims=True)
+    if cfg.preemphasis > 0.0:
+        # Kaldi: first sample preemphasized against itself.
+        prev = jnp.concatenate([frames[..., :1], frames[..., :-1]], axis=-1)
+        frames = frames - cfg.preemphasis * prev
+    # Window folded into DFT basis; two matmuls on the MXU. Full f32
+    # accumulation: spectral magnitudes at bf16-class matmul precision lose
+    # too much before the log.
+    hi = jax.lax.Precision.HIGHEST
+    re = jnp.einsum("...tl,lk->...tk", frames, cos_b, precision=hi)
+    im = jnp.einsum("...tl,lk->...tk", frames, sin_b, precision=hi)
+    power = re * re + im * im
+    melspec = jnp.einsum("...tk,km->...tm", power, mel, precision=hi)
+    if cfg.use_log:
+        melspec = jnp.log(jnp.maximum(melspec, cfg.log_floor))
+    return melspec.astype(cfg.dtype)
+
+
+def cmvn(
+    feats: jnp.ndarray,
+    lengths: jnp.ndarray | None = None,
+    norm_var: bool = True,
+    eps: float = 1e-8,
+) -> jnp.ndarray:
+    """Per-utterance cepstral mean (and variance) normalization.
+
+    feats: [..., T, D]; lengths: [...] valid frame counts (None = all valid).
+    Replacement for Kaldi's apply-cmvn over precomputed stats; per-utterance
+    online normalization computed on device.
+    """
+    if lengths is None:
+        mean = jnp.mean(feats, axis=-2, keepdims=True)
+        var = jnp.mean(jnp.square(feats - mean), axis=-2, keepdims=True)
+    else:
+        t = feats.shape[-2]
+        mask = (jnp.arange(t) < lengths[..., None]).astype(feats.dtype)[..., None]
+        denom = jnp.maximum(jnp.sum(mask, axis=-2, keepdims=True), 1.0)
+        mean = jnp.sum(feats * mask, axis=-2, keepdims=True) / denom
+        var = jnp.sum(jnp.square(feats - mean) * mask, axis=-2, keepdims=True) / denom
+    out = feats - mean
+    if norm_var:
+        out = out * jax.lax.rsqrt(var + eps)
+    return out
+
+
+def build_lfr_features(feats: jnp.ndarray, m: int = 4, n: int = 3) -> jnp.ndarray:
+    """Low frame rate: stack m consecutive frames, subsample by n.
+
+    Reference: src/data/data.py `build_LFR_features(inputs, m, n)`. [..., T, D]
+    -> [..., ceil(T/n), m*D], with right-edge frames clamped to the last frame
+    (the reference pads by repeating the final frame).
+    """
+    t = feats.shape[-2]
+    t_out = (t + n - 1) // n
+    starts = np.arange(t_out) * n
+    idx = np.minimum(starts[:, None] + np.arange(m)[None, :], t - 1)  # [T_out, m]
+    stacked = feats[..., idx, :]  # [..., T_out, m, D]
+    return stacked.reshape(*stacked.shape[:-2], m * feats.shape[-1])
+
+
+def lfr_length(t: jnp.ndarray | int, n: int = 3):
+    """Valid output length after LFR subsampling by n."""
+    return (t + n - 1) // n
+
+
+def wav_to_features(
+    wav: jnp.ndarray,
+    wav_lengths: jnp.ndarray,
+    cfg: FrontendConfig = FrontendConfig(),
+    apply_cmvn: bool = True,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Padded waveforms [B, S] + lengths [B] -> (feats [B, T, D], frame_lengths [B]).
+
+    The single public entry the data pipeline uses. Frames past
+    frame_lengths[b] are zeroed so downstream masking can be sloppy.
+    """
+    feats = log_mel_spectrogram(wav, cfg)
+    num = 1 + jnp.maximum(wav_lengths - cfg.frame_length, 0) // cfg.frame_shift
+    frame_lengths = jnp.where(wav_lengths < cfg.frame_length, 0, num)
+    if apply_cmvn:
+        feats = cmvn(feats, frame_lengths)
+    t = feats.shape[-2]
+    mask = (jnp.arange(t)[None, :] < frame_lengths[:, None])[..., None]
+    feats = jnp.where(mask, feats, 0.0)
+    return feats, frame_lengths

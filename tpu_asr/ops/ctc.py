@@ -1,0 +1,152 @@
+"""CTC loss and greedy collapse, pure JAX (log-space scan over the lattice).
+
+TPU-native replacement for the reference's `torch.nn.CTCLoss` (cuDNN/native
+C++; reference: CTC model file wraps nn.CTCLoss with log_softmax inputs,
+blank id, zero_infinity). Static-shape alpha recursion over an interleaved
+blank/label lattice of width S = 2*U_max+1, scanned over T under jit; grads
+come from JAX autodiff through the scan. A Pallas forward-backward kernel
+(tpu_asr.ops.pallas.ctc) overrides this on TPU for speed; this module is the
+numerical reference it is tested against (and against torch-CPU CTCLoss).
+
+Conventions: logits [B, T, V] unnormalized; labels [B, U] padded with any id
+(masked by label_lengths); blank defaults to 0 (tpu_asr.utils.vocab layout).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _interleave_blanks(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
+    """[B, U] -> [B, 2U+1] lattice symbols: blank, l1, blank, l2, ..., blank."""
+    b, u = labels.shape
+    z = jnp.full((b, 2 * u + 1), blank, dtype=labels.dtype)
+    return z.at[:, 1::2].set(labels)
+
+
+def ctc_forward_alphas(
+    log_probs: jnp.ndarray,
+    labels: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank: int = 0,
+):
+    """Run the alpha recursion; returns (final per-utt neg-log-like [B]).
+
+    log_probs: [B, T, V] log-softmaxed.
+    """
+    b, t, v = log_probs.shape
+    u = labels.shape[1]
+    s = 2 * u + 1
+    z = _interleave_blanks(labels, blank)                       # [B, S]
+    # Transition legality: from s-2 allowed iff z_s != blank and z_s != z_{s-2}.
+    z_shift2 = jnp.concatenate(
+        [jnp.full((b, 2), blank, dtype=z.dtype), z[:, :-2]], axis=1)
+    allow_skip = (z != blank) & (z != z_shift2)                  # [B, S]
+    allow_skip = allow_skip.at[:, :2].set(False)
+    s_pos = jnp.arange(s)[None, :]
+    # Lattice positions beyond 2*label_len are invalid (labels padded short).
+    valid_s = s_pos <= 2 * label_lengths[:, None]
+
+    # Emission log-probs per lattice position, gathered once per step inside
+    # the scan (gather of [B, S] from [B, V]).
+    def gather_emit(logp_t):
+        return jnp.take_along_axis(logp_t, z, axis=1)            # [B, S]
+
+    alpha0 = jnp.full((b, s), NEG_INF)
+    emit0 = gather_emit(log_probs[:, 0])
+    alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
+    alpha0 = alpha0.at[:, 1].set(jnp.where(label_lengths > 0, emit0[:, 1], NEG_INF))
+
+    def step(alpha, inputs):
+        logp_t, t_idx = inputs
+        emit = gather_emit(logp_t)                               # [B, S]
+        a_prev = alpha
+        a_shift1 = jnp.concatenate(
+            [jnp.full((b, 1), NEG_INF), alpha[:, :-1]], axis=1)
+        a_shift2 = jnp.concatenate(
+            [jnp.full((b, 2), NEG_INF), alpha[:, :-2]], axis=1)
+        a_shift2 = jnp.where(allow_skip, a_shift2, NEG_INF)
+        stacked = jnp.stack([a_prev, a_shift1, a_shift2], axis=0)
+        new = jax.nn.logsumexp(stacked, axis=0) + emit
+        new = jnp.where(valid_s, new, NEG_INF)
+        # Frozen past the utterance end so the final read-out is correct.
+        active = (t_idx < logit_lengths)[:, None]
+        return jnp.where(active, new, alpha), None
+
+    ts = jnp.arange(1, t)
+    alpha_final, _ = jax.lax.scan(
+        step, alpha0, (jnp.moveaxis(log_probs[:, 1:], 1, 0), ts))
+
+    end = 2 * label_lengths                                      # [B]
+    last = jnp.take_along_axis(alpha_final, end[:, None], axis=1)[:, 0]
+    last_m1 = jnp.take_along_axis(
+        alpha_final, jnp.maximum(end - 1, 0)[:, None], axis=1)[:, 0]
+    last_m1 = jnp.where(label_lengths > 0, last_m1, NEG_INF)
+    ll = jnp.logaddexp(last, last_m1)
+    return -ll
+
+
+def ctc_loss(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank: int = 0,
+    reduction: str = "mean_label",
+    log_input: bool = False,
+) -> jnp.ndarray:
+    """CTC negative log-likelihood.
+
+    reduction: 'mean_label' matches torch.nn.CTCLoss(reduction='mean')
+    (per-utt NLL / label_length, averaged over batch); 'mean' averages raw
+    per-utt NLLs; 'sum' and 'none' as usual. Infeasible utterances
+    (logit_len < label span) get 0 loss, like zero_infinity=True.
+    """
+    logp = logits if log_input else jax.nn.log_softmax(
+        logits.astype(jnp.float32), axis=-1)
+    nll = ctc_forward_alphas(logp, labels, logit_lengths, label_lengths, blank)
+    # zero_infinity: repeats need a blank between them; min span check.
+    feasible = logit_lengths >= label_lengths
+    nll = jnp.where(feasible & (nll < -NEG_INF / 2), nll, 0.0)
+    if reduction == "none":
+        return nll
+    if reduction == "sum":
+        return jnp.sum(nll)
+    if reduction == "mean":
+        return jnp.mean(nll)
+    if reduction == "mean_label":
+        return jnp.mean(nll / jnp.maximum(label_lengths, 1))
+    raise ValueError(f"unknown reduction {reduction!r}")
+
+
+def ctc_greedy_collapse(
+    ids: jnp.ndarray,
+    lengths: jnp.ndarray,
+    blank: int = 0,
+    pad_id: int = -1,
+) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Greedy CTC decode collapse, vectorized (no host loop).
+
+    ids: [B, T] argmax frame labels; lengths: [B] valid frames.
+    Collapses repeats, removes blanks, left-packs the survivors. Returns
+    (tokens [B, T] padded with pad_id, token_lengths [B]).
+
+    Reference behavior: CTC greedy decode = argmax -> collapse repeats ->
+    drop blanks (reference: recognize path of the CTC model).
+    """
+    b, t = ids.shape
+    prev = jnp.concatenate(
+        [jnp.full((b, 1), -12345, dtype=ids.dtype), ids[:, :-1]], axis=1)
+    valid = (ids != blank) & (ids != prev) & (
+        jnp.arange(t)[None, :] < lengths[:, None])
+    # Left-pack via sort: position key = index where valid else T (stable sort).
+    pos = jnp.where(valid, jnp.arange(t)[None, :], t)
+    order = jnp.argsort(pos, axis=1)
+    packed = jnp.take_along_axis(ids, order, axis=1)
+    n = jnp.sum(valid, axis=1)
+    packed = jnp.where(jnp.arange(t)[None, :] < n[:, None], packed, pad_id)
+    return packed, n
