@@ -10,8 +10,13 @@ if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 
+import jax
 import numpy as np
 import pytest
+
+# This jaxlib defaults f32 matmuls to bf16-class precision (TPU semantics,
+# emulated on CPU too). Numerics tests compare exact paths, so pin f32.
+jax.config.update("jax_default_matmul_precision", "float32")
 
 
 @pytest.fixture

@@ -1,0 +1,58 @@
+"""Model hyperparameters.
+
+Defaults mirror the reference CLI (reference: src/bin/train.py argparse —
+n_layers_enc/dec=6, n_head=8, d_k=d_v=64, d_model=512, d_inner=2048,
+dropout=0.1, pe_maxlen=5000, LFR_m=4/LFR_n=3), expressed as one typed config
+instead of ~30 argparse flags.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab_size: int = 4233            # AISHELL-1 char vocab incl. specials
+    d_input: int = 80                 # mel bins (before LFR stacking)
+    d_model: int = 512
+    d_inner: int = 2048
+    num_heads: int = 8
+    num_enc_layers: int = 6
+    num_dec_layers: int = 6
+    dropout: float = 0.1
+    pe_maxlen: int = 5000
+    input_layer: str = "conv2d"       # conv2d (4x subsample) | linear (use LFR)
+    lfr_m: int = 4                    # only used with input_layer == linear
+    lfr_n: int = 3
+    tie_embedding: bool = True        # share decoder embedding + output proj
+    # objective selection (reference model-type flag + mtlalpha)
+    model_type: str = "hybrid"        # transformer | ctc | hybrid | cif
+    ctc_weight: float = 0.3           # lambda in L = l*ctc + (1-l)*att
+    cif_quantity_weight: float = 1.0  # CIF quantity-loss scale
+    cif_tail_threshold: float = 0.5
+    label_smoothing: float = 0.1
+    # numerics
+    dtype: jnp.dtype = jnp.float32    # compute dtype (bfloat16 on TPU)
+    param_dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False          # Pallas kernels for hot ops (TPU only)
+
+    @property
+    def d_head(self) -> int:
+        assert self.d_model % self.num_heads == 0
+        return self.d_model // self.num_heads
+
+    @property
+    def encoder_input_dim(self) -> int:
+        return (self.d_input * self.lfr_m if self.input_layer == "linear"
+                else self.d_input)
+
+    def subsampled_length(self, t: int | jnp.ndarray):
+        """Encoder output length for input length t (frames)."""
+        if self.input_layer == "conv2d":
+            # two stride-2 convs, kernel 3, no padding (kaldi-style snip)
+            t1 = (t - 1) // 2
+            return (t1 - 1) // 2
+        return (t + self.lfr_n - 1) // self.lfr_n
