@@ -1,0 +1,231 @@
+"""Decode-layer tests.
+
+- CTC prefix scorer vs brute-force path enumeration (prefix AND complete
+  sequence probabilities), and vs the CTC loss for complete sequences.
+- Beam search invariants: beam=1 == greedy rollout; returned scores match
+  teacher-forced re-scoring of returned tokens for any width.
+- CIF greedy decode: shapes, eos/fire-count truncation.
+"""
+
+import itertools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_asr import IGNORE_ID
+from tpu_asr.decode.beam import BeamConfig, attention_beam_search
+from tpu_asr.decode.ctc_prefix import CTCPrefixScorer
+from tpu_asr.decode.greedy_ctc import ctc_greedy_decode
+from tpu_asr.models import ModelConfig, Transformer, add_sos_eos
+from tpu_asr.models.decoder import Decoder
+
+CFG = ModelConfig(vocab_size=12, d_input=8, d_model=32, d_inner=64,
+                  num_heads=2, num_enc_layers=2, num_dec_layers=2,
+                  dropout=0.0, model_type="hybrid")
+SOS, EOS = CFG.vocab_size - 2, CFG.vocab_size - 1
+
+
+def brute_force_probs(logp, prefix, blank=0):
+    """(log P(collapse starts with prefix), log P(collapse == prefix))."""
+    t, v = logp.shape
+    p_prefix, p_exact = 0.0, 0.0
+    prefix = tuple(prefix)
+    for path in itertools.product(range(v), repeat=t):
+        prob = float(np.exp(sum(logp[i, s] for i, s in enumerate(path))))
+        collapsed = []
+        prev = None
+        for s in path:
+            if s != blank and s != prev:
+                collapsed.append(s)
+            prev = s
+        collapsed = tuple(collapsed)
+        if collapsed[: len(prefix)] == prefix:
+            p_prefix += prob
+        if collapsed == prefix:
+            p_exact += prob
+    return np.log(max(p_prefix, 1e-300)), np.log(max(p_exact, 1e-300))
+
+
+def walk_prefix(scorer, prefix, sos=SOS):
+    """Advance the scorer along a prefix; returns (state, y_last)."""
+    state = scorer.init_state()
+    y_last = jnp.asarray([sos])
+    for i, c in enumerate(prefix):
+        cands = jnp.asarray([[c]])
+        psi, new_r = scorer.score(cands, y_last, jnp.asarray([i == 0]), state)
+        state = (new_r[:, 0], psi[:, 0])
+        y_last = jnp.asarray([c])
+    return state, y_last
+
+
+@pytest.mark.parametrize("prefix", [(1,), (1, 2), (2, 2), (1, 2, 1)])
+def test_ctc_prefix_scorer_vs_brute_force(prefix):
+    rng = np.random.default_rng(0)
+    t, v = 5, 4
+    logits = rng.standard_normal((t, v)).astype(np.float64)
+    logp = logits - np.log(np.exp(logits).sum(-1, keepdims=True))
+    scorer = CTCPrefixScorer(jnp.asarray(logp)[None].astype(jnp.float32),
+                             jnp.asarray([t]), blank=0, eos=v - 1)
+    # score the last symbol of the prefix as a candidate extension
+    state, y_last = walk_prefix(scorer, prefix[:-1])
+    cands = jnp.asarray([[prefix[-1], v - 1]])  # [candidate, eos]
+    psi, _ = scorer.score(cands, y_last, jnp.asarray([len(prefix) == 1]),
+                          state)
+    want_prefix, _ = brute_force_probs(logp, prefix)
+    np.testing.assert_allclose(float(psi[0, 0]), want_prefix, rtol=1e-4)
+    # eos candidate after consuming the full prefix = exact match prob
+    state_full, y_last_full = walk_prefix(scorer, prefix)
+    psi2, _ = scorer.score(jnp.asarray([[v - 1]]), y_last_full,
+                           jnp.asarray([False]), state_full)
+    _, want_exact = brute_force_probs(logp, prefix)
+    np.testing.assert_allclose(float(psi2[0, 0]), want_exact, rtol=1e-4)
+
+
+def test_ctc_prefix_eos_matches_ctc_loss():
+    """psi(eos | g) must equal -CTC_NLL(g) from the training loss."""
+    from tpu_asr.ops.ctc import ctc_loss
+    rng = np.random.default_rng(1)
+    t, v = 11, 6
+    labels = [2, 3, 3, 1]
+    logits = rng.standard_normal((t, v)).astype(np.float32)
+    logp = jax.nn.log_softmax(jnp.asarray(logits), axis=-1)
+    scorer = CTCPrefixScorer(logp[None], jnp.asarray([t]), blank=0, eos=v - 1)
+    state, y_last = walk_prefix(scorer, labels)
+    psi, _ = scorer.score(jnp.asarray([[v - 1]]), y_last,
+                          jnp.asarray([False]), state)
+    nll = ctc_loss(logp[None], jnp.asarray([labels]), jnp.asarray([t]),
+                   jnp.asarray([len(labels)]), reduction="none",
+                   log_input=True)
+    np.testing.assert_allclose(float(psi[0, 0]), -float(nll[0]), rtol=1e-4)
+
+
+def _setup_model(rng, b=2, t=33):
+    feats = jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32))
+    fl = jnp.asarray([t, t - 8])
+    targets = jnp.asarray(rng.integers(2, 10, (b, 4)).astype(np.int32))
+    tl = jnp.asarray([4, 4])
+    model = Transformer(CFG)
+    params = model.init(jax.random.PRNGKey(0), feats, fl, targets, tl)
+    enc_out, el = model.apply(params, feats, fl, method=Transformer.encode)
+    return model, params, enc_out, el
+
+
+def _greedy_rollout(dec, dp, enc_out, el, max_len):
+    b = enc_out.shape[0]
+    cache = dec.apply(dp, b, max_len, method=Decoder.init_cache)
+    kv = dec.apply(dp, enc_out, method=Decoder.precompute_cross_kv)
+    y = jnp.full((b,), SOS, jnp.int32)
+    toks, logps = [], []
+    finished = np.zeros(b, bool)
+    for pos in range(max_len):
+        logits, cache = dec.apply(dp, y, pos, cache, kv, el,
+                                  method=Decoder.step)
+        lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        y = jnp.argmax(lp, axis=-1).astype(jnp.int32)
+        toks.append(np.asarray(y))
+        logps.append(np.asarray(jnp.max(lp, axis=-1)))
+    return np.stack(toks, 1), np.stack(logps, 1)
+
+
+def test_beam1_equals_greedy(rng):
+    model, params, enc_out, el = _setup_model(rng)
+    dec = Decoder(CFG)
+    dp = {"params": params["params"]["decoder"]}
+    out = attention_beam_search(dec, dp, enc_out, el, SOS, EOS,
+                                BeamConfig(beam=1, max_len=8))
+    greedy_toks, greedy_lps = _greedy_rollout(dec, dp, enc_out, el, 8)
+    for b in range(enc_out.shape[0]):
+        L = int(out["lengths"][b, 0])
+        want = greedy_toks[b]
+        got = np.asarray(out["tokens"][b, 0])
+        # up to and including any eos, the sequences must agree
+        for i in range(L):
+            assert got[i] == want[i], (b, i, got, want)
+        # score = sum of step logprobs up to & incl. the eos step (or maxlen)
+        n_steps = L if L == 8 else L + 1
+        np.testing.assert_allclose(float(out["scores"][b, 0]),
+                                   greedy_lps[b, :n_steps].sum(), rtol=1e-4)
+
+
+def _rescore(model, params, enc_out, el, tokens, length, max_len):
+    """Teacher-forced sum of step log-probs for tokens + eos."""
+    toks = np.full((1, max_len), IGNORE_ID, np.int32)
+    toks[0, :length] = np.asarray(tokens[:length])
+    ys_in, ys_out = add_sos_eos(jnp.asarray(toks), jnp.asarray([length]),
+                                SOS, EOS)
+    logits = model.apply(params, enc_out, el, ys_in,
+                         method=Transformer.decode_logits)
+    lp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    total = 0.0
+    for i in range(length + 1):
+        tgt = int(ys_out[0, i])
+        if tgt == IGNORE_ID:
+            break
+        total += float(lp[0, i, tgt])
+    return total
+
+
+@pytest.mark.parametrize("beam", [2, 4])
+def test_beam_scores_match_rescoring(rng, beam):
+    model, params, enc_out, el = _setup_model(rng)
+    dec = Decoder(CFG)
+    dp = {"params": params["params"]["decoder"]}
+    max_len = 8
+    out = attention_beam_search(dec, dp, enc_out, el, SOS, EOS,
+                                BeamConfig(beam=beam, max_len=max_len))
+    for b in range(enc_out.shape[0]):
+        for k in range(beam):
+            L = int(out["lengths"][b, k])
+            if L == max_len:
+                continue  # no eos emitted; score excludes eos step
+            want = _rescore(model, params, enc_out[b:b + 1], el[b:b + 1],
+                            np.asarray(out["tokens"][b, k]), L, max_len)
+            np.testing.assert_allclose(float(out["scores"][b, k]), want,
+                                       rtol=1e-3, atol=1e-4)
+    # beams sorted best-first
+    s = np.asarray(out["scores"])
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_joint_ctc_beam_runs(rng):
+    model, params, enc_out, el = _setup_model(rng)
+    dec = Decoder(CFG)
+    dp = {"params": params["params"]["decoder"]}
+    ctc_logits = model.apply(params, enc_out, method=Transformer.ctc_logits)
+    ctc_logp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
+    out = attention_beam_search(
+        dec, dp, enc_out, el, SOS, EOS,
+        BeamConfig(beam=3, max_len=6, ctc_weight=0.3), ctc_logp=ctc_logp)
+    assert out["tokens"].shape == (2, 3, 6)
+    assert np.isfinite(np.asarray(out["scores"])).all()
+    s = np.asarray(out["scores"])
+    assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+def test_ctc_greedy_decode_batched(rng):
+    model, params, enc_out, el = _setup_model(rng)
+    ctc_logits = model.apply(params, enc_out, method=Transformer.ctc_logits)
+    toks, lens = ctc_greedy_decode(ctc_logits, el)
+    assert toks.shape[0] == 2
+    assert (np.asarray(lens) <= np.asarray(el)).all()
+
+
+def test_cif_greedy_decode(rng):
+    from tpu_asr.decode.cif_decode import cif_greedy_decode
+    from tpu_asr.models import CifModel
+    cfg = ModelConfig(**{**CFG.__dict__, "model_type": "cif"})
+    b, t = 2, 33
+    feats = jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32))
+    fl = jnp.asarray([t, t - 8])
+    targets = jnp.asarray(rng.integers(2, 10, (b, 4)).astype(np.int32))
+    tl = jnp.asarray([4, 4])
+    model = CifModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), feats, fl, targets, tl)
+    tokens, lengths = cif_greedy_decode(model, params, feats, fl, max_len=10)
+    assert tokens.shape == (2, 10)
+    lengths = np.asarray(lengths)
+    assert (lengths <= 10).all()
+    for i in range(b):
+        assert (np.asarray(tokens)[i, lengths[i]:] == -1).all()

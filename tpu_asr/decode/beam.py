@@ -1,0 +1,198 @@
+"""Batched attention beam search, fully compiled (lax.scan over positions).
+
+The reference's `Decoder.recognize_beam` (src/transformer/decoder.py) is a
+host-driven python loop: batch=1, one device round-trip per token per beam —
+the #1 perf sin SURVEY.md 3.2 flags. This redesign keeps the whole search on
+device with static shapes: fixed beam width W, fixed max_len, explicit KV
+caches reordered by gather at each step, eos-forced continuation for
+finished hypotheses, and (optionally) joint CTC/attention scoring via the
+vectorized CTCPrefixScorer (BASELINE.json config #3).
+
+Joint score per Watanabe et al.: S = (1-l) * logP_att + l * logP_ctc,
+accumulated incrementally (psi differences) inside the same loop.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from tpu_asr.decode.ctc_prefix import CTCPrefixScorer
+
+NEG_INF = -1e30
+
+
+@dataclasses.dataclass(frozen=True)
+class BeamConfig:
+    beam: int = 5
+    max_len: int = 64
+    ctc_weight: float = 0.0          # joint scoring weight (0 = pure attn)
+    ctc_cand: int = 0                # CTC-scored candidates/beam (0 = 2*beam)
+    length_penalty: float = 0.0      # added per emitted token to final score
+    nbest: int = 1
+
+
+def _tile_beams(x, w):
+    """[B, ...] -> [B*W, ...] repeating each row W times."""
+    return jnp.repeat(x, w, axis=0)
+
+
+def attention_beam_search(
+    decoder,
+    dec_params,
+    enc_out: jnp.ndarray,
+    enc_lengths: jnp.ndarray,
+    sos_id: int,
+    eos_id: int,
+    cfg: BeamConfig = BeamConfig(),
+    ctc_logp: jnp.ndarray | None = None,
+):
+    """Run beam search over a batch of utterances.
+
+    decoder: tpu_asr.models.decoder.Decoder (module def); dec_params: its
+    variables; enc_out [B, T, D]; ctc_logp [B, T, V] (log-softmaxed CTC
+    posteriors) required when cfg.ctc_weight > 0.
+
+    Returns dict(tokens [B, W, max_len] eos-padded, scores [B, W],
+    lengths [B, W]) sorted best-first.
+    """
+    b, t, _ = enc_out.shape
+    w = cfg.beam
+    n = b * w
+    use_ctc = cfg.ctc_weight > 0.0
+    lam = cfg.ctc_weight
+
+    cross_kv = decoder.apply(dec_params, enc_out,
+                             method=type(decoder).precompute_cross_kv)
+    cross_kv = jax.tree.map(lambda x: _tile_beams(x, w), cross_kv)
+    enc_lengths_flat = _tile_beams(enc_lengths, w)
+    cache = decoder.apply(dec_params, n, cfg.max_len,
+                          method=type(decoder).init_cache)
+
+    scorer = None
+    ctc_state = None
+    if use_ctc:
+        assert ctc_logp is not None, "joint scoring needs ctc log-probs"
+        scorer = CTCPrefixScorer(
+            _tile_beams(ctc_logp, w), enc_lengths_flat, blank=0, eos=eos_id)
+        ctc_state = scorer.init_state()
+    k_cand = cfg.ctc_cand or 2 * w
+
+    def dec_step(y_prev, pos, cache):
+        return decoder.apply(dec_params, y_prev, pos, cache, cross_kv,
+                             enc_lengths_flat, method=type(decoder).step)
+
+    def gather_beams(tree, beam_idx):
+        """Reorder [B*W, ...] state by per-batch beam indices [B, W]."""
+        def g(x):
+            xr = x.reshape(b, w, *x.shape[1:])
+            idx = beam_idx.reshape(b, w, *([1] * (x.ndim - 1)))
+            return jnp.take_along_axis(xr, idx, axis=1).reshape(x.shape)
+        return jax.tree.map(g, tree)
+
+    def step(carry, pos):
+        (y_prev, cache, scores, finished, lengths, tokens, ctc_state) = carry
+        logits, cache = dec_step(y_prev, pos, cache)
+        att_logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+
+        if use_ctc:
+            # Top-K att candidates per beam (+ eos forced into the set).
+            cand_logp, cand_ids = jax.lax.top_k(att_logp, k_cand)  # [N, K]
+            cand_ids = jnp.concatenate(
+                [cand_ids, jnp.full((n, 1), eos_id, cand_ids.dtype)], axis=1)
+            cand_logp = jnp.concatenate(
+                [cand_logp, att_logp[:, eos_id][:, None]], axis=1)
+            is_first = jnp.full((n,), False) | (pos == 0)
+            psi, new_r = scorer.score(cand_ids, y_prev, is_first, ctc_state)
+            _, psi_prev = ctc_state
+            step_score = ((1.0 - lam) * cand_logp
+                          + lam * (psi - psi_prev[:, None]))      # [N, K+1]
+            k_tot = k_cand + 1
+            # finished beams: only the eos slot continues, at zero cost
+            eos_slot = jnp.arange(k_tot)[None, :] == k_cand
+            step_score = jnp.where(
+                finished.reshape(n)[:, None],
+                jnp.where(eos_slot, 0.0, NEG_INF), step_score)
+            cand = scores.reshape(n)[:, None] + step_score
+            cand = cand.reshape(b, w * k_tot)
+            top_scores, top_idx = jax.lax.top_k(cand, w)          # [B, W]
+            beam_idx = top_idx // k_tot
+            slot_idx = top_idx % k_tot
+            flat_beam = (jnp.arange(b)[:, None] * w + beam_idx).reshape(n)
+            tok = jnp.take_along_axis(
+                cand_ids[flat_beam].reshape(b, w, k_tot),
+                slot_idx[..., None], axis=2)[..., 0]              # [B, W]
+            # gather ctc states for the chosen (beam, slot)
+            new_r_sel = new_r[flat_beam].reshape(b, w, k_tot, t, 2)
+            r_next = jnp.take_along_axis(
+                new_r_sel, slot_idx[:, :, None, None, None], axis=2
+            )[:, :, 0].reshape(n, t, 2)
+            psi_sel = jnp.take_along_axis(
+                psi[flat_beam].reshape(b, w, k_tot),
+                slot_idx[..., None], axis=2)[..., 0].reshape(n)
+            # finished/eos beams keep their old prefix state
+            old_r, old_psi = ctc_state
+            old_r_g = old_r[flat_beam]
+            old_psi_g = old_psi[flat_beam]
+            was_finished = finished.reshape(b, w)
+            was_finished_g = jnp.take_along_axis(was_finished, beam_idx,
+                                                 axis=1).reshape(n)
+            keep_old = was_finished_g | (tok.reshape(n) == eos_id)
+            r_next = jnp.where(keep_old[:, None, None], old_r_g, r_next)
+            psi_next = jnp.where(keep_old, old_psi_g, psi_sel)
+            ctc_state = (r_next, psi_next)
+        else:
+            logp = att_logp.reshape(b, w, -1)
+            v = logp.shape[-1]
+            eos_forced = jnp.where(
+                jnp.arange(v)[None, None, :] == eos_id, 0.0, NEG_INF)
+            logp = jnp.where(finished[..., None], eos_forced, logp)
+            cand = (scores[..., None] + logp).reshape(b, w * v)
+            top_scores, top_idx = jax.lax.top_k(cand, w)
+            beam_idx = top_idx // v
+            tok = top_idx % v
+
+        # reorder all per-beam state
+        cache = gather_beams(cache, beam_idx)
+        tokens = gather_beams(tokens.reshape(n, -1), beam_idx).reshape(
+            b, w, -1)
+        finished_g = jnp.take_along_axis(finished, beam_idx, axis=1)
+        lengths_g = jnp.take_along_axis(lengths, beam_idx, axis=1)
+
+        now_eos = tok == eos_id
+        tokens = tokens.at[:, :, pos].set(
+            jnp.where(finished_g, eos_id, tok))
+        lengths = jnp.where(finished_g, lengths_g,
+                            jnp.where(now_eos, pos, pos + 1))
+        finished = finished_g | now_eos
+        scores = top_scores
+        y_prev = tok.reshape(n)
+        return (y_prev, cache, scores, finished, lengths, tokens,
+                ctc_state), None
+
+    scores0 = jnp.where(jnp.arange(w)[None, :] == 0, 0.0, NEG_INF)
+    scores0 = jnp.tile(scores0, (b, 1))
+    carry0 = (
+        jnp.full((n,), sos_id, jnp.int32),
+        cache,
+        scores0,
+        jnp.zeros((b, w), bool),
+        jnp.zeros((b, w), jnp.int32),
+        jnp.full((b, w, cfg.max_len), eos_id, jnp.int32),
+        ctc_state,
+    )
+    (y_prev, cache, scores, finished, lengths, tokens, ctc_state), _ = (
+        jax.lax.scan(step, carry0, jnp.arange(cfg.max_len)))
+
+    # Unfinished hyps at max_len: keep accumulated score (reference appends
+    # eos at maxlen); optional per-token length reward.
+    final = scores + cfg.length_penalty * lengths.astype(jnp.float32)
+    order = jnp.argsort(-final, axis=1)
+    return {
+        "tokens": jnp.take_along_axis(tokens, order[..., None], axis=1),
+        "scores": jnp.take_along_axis(final, order, axis=1),
+        "lengths": jnp.take_along_axis(lengths, order, axis=1),
+    }

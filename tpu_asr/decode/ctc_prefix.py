@@ -1,0 +1,126 @@
+"""Vectorized CTC prefix scorer for joint CTC/attention beam decoding.
+
+Reference capability: the joint-scoring decode path interleaving CTC prefix
+scores into the attention beam loop (reference: recognize path per
+BASELINE.json config #3; algorithm of Watanabe et al., "Hybrid CTC/Attention
+Architecture for End-to-End Speech Recognition", as in espnet's
+CTCPrefixScore). Redesigned for TPU: scores K candidate extensions for all
+B*W beams at once with one lax.scan over time — no per-hypothesis host
+loops — so it drops straight into the compiled beam search.
+
+Log-space recursion, for prefix g (last symbol c_last) extended by c:
+    phi[t]    = logaddexp(r_b[t](g), c != c_last ? r_nb[t](g) : -inf)
+    r_nb[t](h) = logaddexp(r_nb[t-1](h), phi[t-1]) + x[t, c]
+    r_b[t](h)  = logaddexp(r_nb[t-1](h), r_b[t-1](h)) + x[t, blank]
+    psi       = logaddexp_t(phi[t-1] + x[t, c])   (prefix probability)
+eos scores as logaddexp(r_nb[T-1](g), r_b[T-1](g)).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _logaddexp(a, b):
+    return jnp.logaddexp(a, b)
+
+
+class CTCPrefixScorer:
+    """Batched prefix scorer over fixed ctc log-probs.
+
+    Built once per utterance batch (then tiled over beams by the caller).
+    """
+
+    def __init__(self, ctc_logp: jnp.ndarray, enc_lengths: jnp.ndarray,
+                 blank: int = 0, eos: int | None = None):
+        """ctc_logp: [N, T, V] log-softmaxed CTC posteriors."""
+        self.logp = ctc_logp.astype(jnp.float32)
+        self.lengths = enc_lengths
+        self.blank = blank
+        self.eos = eos
+        n, t, v = ctc_logp.shape
+        self.n, self.t, self.v = n, t, v
+
+    def init_state(self):
+        """State for the empty prefix: (r [N, T, 2], psi_prev [N]).
+
+        r[..., 0] = r_nb (-inf for empty prefix), r[..., 1] = r_b =
+        cumulative blank log-prob (frozen past enc length).
+        """
+        blank_lp = self.logp[:, :, self.blank]                   # [N, T]
+        t_idx = jnp.arange(self.t)[None, :]
+        active = t_idx < self.lengths[:, None]
+        r_b = jnp.cumsum(jnp.where(active, blank_lp, 0.0), axis=1)
+        r_nb = jnp.full((self.n, self.t), NEG_INF)
+        r = jnp.stack([r_nb, r_b], axis=-1)
+        psi_prev = jnp.zeros((self.n,))
+        return r, psi_prev
+
+    def score(self, cands: jnp.ndarray, y_last: jnp.ndarray,
+              is_first: jnp.ndarray, state):
+        """Score K candidate extensions per beam.
+
+        cands: [N, K] candidate token ids; y_last: [N] last token of each
+        prefix; is_first: [N] bool, True when the prefix is empty (g = sos
+        only). state: (r [N, T, 2], psi_prev [N]).
+
+        Returns (psi [N, K] prefix log-probs, new_r [N, K, T, 2]). The
+        incremental joint-decode score is psi - psi_prev[:, None]. eos
+        candidates get the complete-sequence probability of g itself.
+        """
+        r_prev, psi_prev = state
+        n, k = cands.shape
+        t = self.t
+        # x_cand[n, t, k]: log p(c at frame t); x_blank[n, t]
+        x_cand = jnp.take_along_axis(
+            self.logp, cands[:, None, :].repeat(t, axis=1), axis=2)
+        x_blank = self.logp[:, :, self.blank]
+        # phi over prefix state [N, T, K]
+        same = cands == y_last[:, None]                           # [N, K]
+        r_nb_p, r_b_p = r_prev[..., 0], r_prev[..., 1]
+        phi = _logaddexp(
+            r_b_p[:, :, None],
+            jnp.where(same[:, None, :], NEG_INF, r_nb_p[:, :, None]))
+        t_idx = jnp.arange(t)
+        active = (t_idx[None, :] < self.lengths[:, None])         # [N, T]
+
+        # t = 0 init: r_nb = x[0, c] only for the empty prefix.
+        r_nb0 = jnp.where(is_first[:, None], x_cand[:, 0, :], NEG_INF)
+        r_b0 = jnp.full((n, k), NEG_INF)
+        psi0 = r_nb0
+
+        def step(carry, inputs):
+            r_nb, r_b, psi = carry
+            xc_t, xb_t, phi_tm1, active_t = inputs
+            new_nb = _logaddexp(r_nb, phi_tm1) + xc_t
+            new_b = _logaddexp(r_nb, r_b) + xb_t[:, None]
+            new_psi = _logaddexp(psi, phi_tm1 + xc_t)
+            keep = active_t[:, None]
+            out = (jnp.where(keep, new_nb, r_nb),
+                   jnp.where(keep, new_b, r_b),
+                   jnp.where(keep, new_psi, psi))
+            return out, (out[0], out[1])
+
+        xs = (jnp.moveaxis(x_cand[:, 1:], 1, 0),     # [T-1, N, K]
+              jnp.moveaxis(x_blank[:, 1:], 1, 0),    # [T-1, N]
+              jnp.moveaxis(phi[:, :-1], 1, 0),       # [T-1, N, K]
+              jnp.moveaxis(active[:, 1:], 1, 0))     # [T-1, N]
+        (r_nb_T, r_b_T, psi), (nb_hist, b_hist) = jax.lax.scan(
+            step, (r_nb0, r_b0, psi0), xs)
+        # Assemble full r history [N, K, T, 2]
+        nb_full = jnp.concatenate([r_nb0[None], nb_hist], axis=0)  # [T, N, K]
+        b_full = jnp.concatenate([r_b0[None], b_hist], axis=0)
+        new_r = jnp.stack([jnp.moveaxis(nb_full, 0, 2),
+                           jnp.moveaxis(b_full, 0, 2)], axis=-1)
+        if self.eos is not None:
+            # eos: score is P(g complete) at the last active frame.
+            last = jnp.maximum(self.lengths - 1, 0)
+            r_last = jnp.take_along_axis(
+                r_prev, last[:, None, None].repeat(2, axis=2), axis=1)[:, 0]
+            g_complete = _logaddexp(r_last[:, 0], r_last[:, 1])
+            # empty prefix "complete" = all-blank path = r_b at last frame
+            psi = jnp.where(cands == self.eos, g_complete[:, None], psi)
+        return psi, new_r

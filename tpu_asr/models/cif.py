@@ -88,6 +88,33 @@ class CifDecoder(nn.Module):
             y = layer(y, bias, deterministic=deterministic)
         return self._project_out(y)
 
+    # ---- functional decode-step API (used by tpu_asr.decode) ----
+
+    def init_cache(self, batch: int, u_max: int):
+        c = self.cfg
+        zeros = jnp.zeros((batch, u_max, c.num_heads, c.d_head), c.dtype)
+        return {f"layer_{i}": {"k": zeros, "v": zeros}
+                for i in range(c.num_dec_layers)}
+
+    def step(self, y_prev, fired_t, pos, cache):
+        """One decode position: y_prev [B] token ids, fired_t [B, D] the
+        fired embedding for this position. Returns (logits [B, V], cache)."""
+        c = self.cfg
+        u_max = cache["layer_0"]["k"].shape[1]
+        scale = (jnp.asarray(c.d_model, jnp.float32) ** 0.5).astype(c.dtype)
+        y = (self.embed(y_prev[:, None]) * scale
+             + self.fuse(fired_t[:, None].astype(c.dtype)))
+        y = self.pe(y, offset=pos)
+        allowed = (jnp.arange(u_max) <= pos)[None, None, None, :]
+        bias = mask_to_bias(allowed, c.dtype)
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            key = f"layer_{i}"
+            y, k, v = layer.step(y, pos, cache[key]["k"], cache[key]["v"],
+                                 bias)
+            new_cache[key] = {"k": k, "v": v}
+        return self._project_out(y)[:, 0], new_cache
+
 
 class CifModel(nn.Module):
     cfg: ModelConfig

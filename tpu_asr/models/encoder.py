@@ -12,6 +12,7 @@ bias and zeroed at the output.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -41,6 +42,19 @@ class EncoderLayer(nn.Module):
         x = self.post_attn(x, h, deterministic=deterministic)
         h = self.ffn(x, deterministic=deterministic)
         return self.post_ffn(x, h, deterministic=deterministic)
+
+    def step(self, x_t, pos, k_self, v_self, self_bias):
+        """Cached causal step (used by the CIF decoder's compiled decode).
+
+        x_t: [B, 1, D]; k_self/v_self: [B, U_max, H, dh] caches.
+        """
+        k_t, v_t = self.slf_attn.project_kv_step(x_t)
+        k_self = jax.lax.dynamic_update_slice_in_dim(k_self, k_t, pos, axis=1)
+        v_self = jax.lax.dynamic_update_slice_in_dim(v_self, v_t, pos, axis=1)
+        h = self.slf_attn.step(x_t, k_self, v_self, self_bias)
+        x = self.post_attn(x_t, h)
+        h = self.ffn(x)
+        return self.post_ffn(x, h), k_self, v_self
 
 
 class Encoder(nn.Module):
