@@ -1,0 +1,133 @@
+#!/usr/bin/env python
+"""Decoding CLI.
+
+Reference: src/bin/recognize.py (load checkpoint -> per-utt recognize_beam
+-> add_results_to_json). Here: checkpoint dir -> batched jit-compiled
+decode over bucketed batches -> hypothesis JSONL (+ CER when references are
+present in the manifest).
+
+Example:
+  python bin/recognize.py --ckpt exp/hybrid --manifest test.jsonl \
+      --mode joint --beam 10 --output hyp.jsonl
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--ckpt", required=True, help="checkpoint dir")
+    p.add_argument("--manifest", required=True)
+    p.add_argument("--output", default="")
+    p.add_argument("--mode", default="",
+                   choices=["", "greedy_ctc", "beam", "joint", "cif_greedy"])
+    p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--max-len", type=int, default=100)
+    p.add_argument("--ctc-weight", type=float, default=0.3)
+    p.add_argument("--batch-frames", type=int, default=16000)
+    p.add_argument("--num-buckets", type=int, default=4)
+    p.add_argument("--step", type=int, default=-1,
+                   help="checkpoint step (-1 = best/latest)")
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from tpu_asr.configs import TrainConfig
+    from tpu_asr.data import DataLoader, load_manifest, make_buckets
+    from tpu_asr.decode.beam import BeamConfig
+    from tpu_asr.decode.recognizer import Recognizer
+    from tpu_asr.frontend import FrontendConfig
+    from tpu_asr.models import CifModel, Transformer
+    from tpu_asr.train import TrainState, make_optimizer
+    from tpu_asr.train.checkpoints import Checkpointer
+    from tpu_asr.utils.cer import cer
+
+    ck = Checkpointer(args.ckpt)
+    cfg = ck.load_config()
+    mode = args.mode or {
+        "ctc": "greedy_ctc", "transformer": "beam", "hybrid": "joint",
+        "cif": "cif_greedy"}[cfg.model_type]
+    if mode == "joint" and cfg.model_type != "hybrid":
+        mode = "beam"
+
+    utts = load_manifest(args.manifest)
+    wav_mode = bool(utts and utts[0].wav)
+    frontend = FrontendConfig()
+    scale = frontend.frame_shift if wav_mode else 1
+    buckets = make_buckets(
+        utts, num_buckets=args.num_buckets,
+        batch_frames=args.batch_frames * scale,
+        max_frames_cap=3000 * scale, max_tokens_cap=200,
+        length_key="num_samples" if wav_mode else "num_frames")
+    loader = DataLoader(utts, buckets, mode="wav" if wav_mode else "feat",
+                        shuffle=False)
+
+    # restore params
+    model_cls = CifModel if cfg.model_type == "cif" else Transformer
+    model = model_cls(cfg)
+    batch0 = next(iter(loader))
+    import jax.numpy as jnp
+    from tpu_asr.train.loop import batch_features, strip_host_fields
+    b0 = {k: jnp.asarray(v) for k, v in strip_host_fields(batch0).items()}
+    feats, flens = batch_features(b0, frontend)
+    variables = model.init(jax.random.PRNGKey(0), feats, flens,
+                           b0["targets"], b0["target_lengths"])
+    tx = make_optimizer(cfg.d_model)
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(0))
+    step = None if args.step < 0 else args.step
+    state, _ = ck.restore(state, step=step if step is not None
+                          else ck.best_step())
+    params = {"params": state.params}
+
+    rec = Recognizer(cfg=cfg, params=params,
+                     beam=BeamConfig(beam=args.beam, max_len=args.max_len,
+                                     ctc_weight=args.ctc_weight
+                                     if mode == "joint" else 0.0),
+                     mode=mode, frontend=frontend)
+
+    results = {}
+    total_audio_s, t_start = 0.0, time.time()
+    loader.epoch = 0
+    for batch in DataLoader(utts, buckets,
+                            mode="wav" if wav_mode else "feat",
+                            shuffle=False):
+        hyps = rec.decode_batch(batch)
+        for uid, hyp in zip(batch["ids"], hyps):
+            results[uid] = hyp
+        if wav_mode:
+            total_audio_s += float(np.sum(batch["wav_lengths"])) / \
+                frontend.sample_rate
+        else:
+            total_audio_s += float(np.sum(batch["feat_lengths"])) * \
+                frontend.frame_shift_ms / 1000.0
+    wall = time.time() - t_start
+    inv_rtf = total_audio_s / wall if wall > 0 else 0.0
+
+    refs = {u.id: u.tokens for u in utts}
+    have_refs = any(refs.values())
+    out_path = args.output or os.path.join(args.ckpt, "hyp.jsonl")
+    with open(out_path, "w") as f:
+        for uid, hyp in results.items():
+            f.write(json.dumps({"id": uid, "hyp_tokens": hyp}) + "\n")
+    summary = {"n_utts": len(results), "inverse_rtf": round(inv_rtf, 2),
+               "wall_s": round(wall, 2), "mode": mode}
+    if have_refs:
+        score = cer([refs[u] for u in results], list(results.values()))
+        summary["cer"] = round(score["cer"], 4)
+    print(json.dumps(summary))
+
+
+if __name__ == "__main__":
+    main()

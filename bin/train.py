@@ -1,0 +1,160 @@
+#!/usr/bin/env python
+"""Training CLI.
+
+Reference: src/bin/train.py (argparse -> dataset/model/solver ->
+Solver.train()). Here: preset + overrides -> bucketed loaders -> jitted
+train loop with orbax checkpoints and JSONL metrics.
+
+Examples:
+  python bin/train.py --preset hybrid --train-manifest train.jsonl \
+      --cv-manifest dev.jsonl --save-folder exp/hybrid --vocab-size 4233
+  python bin/train.py --preset ctc_dev --synthetic 200 --save-folder exp/dev
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--preset", default="hybrid")
+    p.add_argument("--train-manifest")
+    p.add_argument("--cv-manifest")
+    p.add_argument("--save-folder", required=True)
+    p.add_argument("--vocab-size", type=int, default=0)
+    p.add_argument("--dict", dest="dict_path",
+                   help="token dict file (sets vocab size)")
+    p.add_argument("--epochs", type=int, default=0)
+    p.add_argument("--batch-frames", type=int, default=0)
+    p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--lr-k", type=float, default=0.0)
+    p.add_argument("--continue-from", dest="continue_from")
+    p.add_argument("--num-devices", type=int, default=0,
+                   help="data-parallel devices (0 = all)")
+    p.add_argument("--synthetic", type=int, default=0,
+                   help="train on N synthetic utterances (demo/smoke)")
+    p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--print-freq", type=int, default=0)
+    return p.parse_args()
+
+
+def main():
+    args = parse_args()
+    from tpu_asr.configs import get_preset
+    from tpu_asr.data import DataLoader, load_manifest, make_buckets
+    from tpu_asr.models import CifModel, Transformer
+    from tpu_asr.parallel import make_mesh
+    from tpu_asr.train import Solver, TrainState, make_optimizer
+    from tpu_asr.train.checkpoints import Checkpointer
+    from tpu_asr.train.metrics import MetricsWriter
+    from tpu_asr.utils.vocab import Vocab
+
+    tc = get_preset(args.preset)
+    vocab_size = tc.model.vocab_size
+    if args.dict_path:
+        vocab_size = len(Vocab.load(args.dict_path))
+    if args.vocab_size:
+        vocab_size = args.vocab_size
+
+    overrides = {"vocab_size": vocab_size}
+    mc = dataclasses.replace(tc.model, **overrides)
+    if args.epochs:
+        tc = dataclasses.replace(tc, epochs=args.epochs)
+    if args.batch_frames:
+        tc = dataclasses.replace(tc, batch_frames=args.batch_frames)
+    if args.warmup_steps:
+        tc = dataclasses.replace(tc, warmup_steps=args.warmup_steps)
+    if args.lr_k:
+        tc = dataclasses.replace(tc, lr_k=args.lr_k)
+    if args.print_freq:
+        tc = dataclasses.replace(tc, print_freq=args.print_freq)
+
+    if args.synthetic:
+        from tpu_asr.data.synthetic import make_synthetic_dataset
+        if not args.vocab_size and not args.dict_path:
+            vocab_size = 64
+            mc = dataclasses.replace(mc, vocab_size=vocab_size)
+        utts, waves = make_synthetic_dataset(args.synthetic, vocab_size,
+                                             seed=tc.seed)
+        n_cv = max(args.synthetic // 10, 1)
+        train_utts, cv_utts = utts[n_cv:], utts[:n_cv]
+        mode, waves_arg = "wav", waves
+        length_key = "num_samples"
+        sample_cap = tc.max_frames_cap * tc.frontend.frame_shift
+        batch_budget = tc.batch_frames * tc.frontend.frame_shift
+    else:
+        assert args.train_manifest and args.cv_manifest, \
+            "--train-manifest/--cv-manifest (or --synthetic) required"
+        train_utts = load_manifest(args.train_manifest)
+        cv_utts = load_manifest(args.cv_manifest)
+        wav_mode = bool(train_utts and train_utts[0].wav)
+        mode = "wav" if wav_mode else "feat"
+        waves_arg = None
+        length_key = "num_samples" if wav_mode else "num_frames"
+        scale = tc.frontend.frame_shift if wav_mode else 1
+        sample_cap = tc.max_frames_cap * scale
+        batch_budget = tc.batch_frames * scale
+
+    buckets = make_buckets(
+        train_utts, num_buckets=tc.num_buckets, batch_frames=batch_budget,
+        max_frames_cap=sample_cap, max_tokens_cap=tc.max_tokens_cap,
+        length_key=length_key)
+    print(f"buckets: {buckets}", file=sys.stderr)
+    train_loader = DataLoader(train_utts, buckets, mode=mode,
+                              waves=waves_arg, seed=tc.seed)
+    cv_loader = DataLoader(cv_utts, buckets, mode=mode, waves=waves_arg,
+                           shuffle=False)
+
+    model = CifModel(mc) if mc.model_type == "cif" else Transformer(mc)
+    tx = make_optimizer(mc.d_model, tc.warmup_steps, tc.lr_k, tc.grad_clip)
+
+    # init from one batch's shapes
+    batch0 = next(iter(cv_loader if cv_utts else train_loader))
+    from tpu_asr.train.loop import batch_features, strip_host_fields
+    import jax.numpy as jnp
+    b0 = {k: jnp.asarray(v) for k, v in strip_host_fields(batch0).items()}
+    feats, flens = batch_features(b0, tc.frontend)
+    variables = model.init(jax.random.PRNGKey(tc.seed), feats, flens,
+                           b0["targets"], b0["target_lengths"])
+    state = TrainState.create(variables["params"], tx,
+                              jax.random.PRNGKey(tc.seed + 1))
+    n_params = sum(np.prod(x.shape) for x in jax.tree.leaves(state.params))
+    print(f"model: {mc.model_type}, {n_params/1e6:.1f}M params",
+          file=sys.stderr)
+
+    ck = Checkpointer(args.save_folder)
+    ck.save_config(mc)
+    start_epoch = 0
+    if args.continue_from:
+        prev = Checkpointer(args.continue_from)
+        state, meta = prev.restore(state)
+        start_epoch = meta["epoch"] + 1
+        print(f"resumed from step {int(state.step)} (epoch {start_epoch})",
+              file=sys.stderr)
+
+    n_dev = args.num_devices or len(jax.devices())
+    mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
+
+    solver = Solver(
+        model=model, tx=tx, train_loader=train_loader, cv_loader=cv_loader,
+        epochs=tc.epochs, print_freq=tc.print_freq, specaug=tc.specaug,
+        frontend=tc.frontend, mesh=mesh, checkpointer=ck,
+        metrics_writer=MetricsWriter(
+            os.path.join(args.save_folder, "metrics.jsonl")),
+        start_epoch=start_epoch)
+    state = solver.train(state)
+    ck.wait()
+    print("done", file=sys.stderr)
+
+
+if __name__ == "__main__":
+    main()

@@ -4,7 +4,7 @@ Must run before anything imports jax."""
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+os.environ["JAX_PLATFORMS"] = "cpu"  # force: the env may preset a TPU tunnel
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
@@ -13,6 +13,10 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax
 import numpy as np
 import pytest
+
+# The axon TPU plugin (sitecustomize) sets jax_platforms programmatically,
+# which beats the env var — override it back at config level.
+jax.config.update("jax_platforms", "cpu")
 
 # This jaxlib defaults f32 matmuls to bf16-class precision (TPU semantics,
 # emulated on CPU too). Numerics tests compare exact paths, so pin f32.

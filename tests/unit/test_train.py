@@ -1,0 +1,131 @@
+"""Train layer: Noam schedule formula, train step mechanics, checkpoint
+round-trip, 8-device data-parallel step on the virtual CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from tpu_asr import IGNORE_ID
+from tpu_asr.models import ModelConfig, Transformer
+from tpu_asr.train import (TrainState, make_eval_step, make_optimizer,
+                           make_train_step, noam_schedule)
+
+CFG = ModelConfig(vocab_size=16, d_input=8, d_model=16, d_inner=32,
+                  num_heads=2, num_enc_layers=1, num_dec_layers=1,
+                  dropout=0.0, model_type="hybrid")
+
+
+def _batch(rng, b=4, t=37, u=5):
+    targets = np.full((b, u), IGNORE_ID, np.int32)
+    tl = np.zeros(b, np.int32)
+    for i in range(b):
+        n = int(rng.integers(2, u + 1))
+        targets[i, :n] = rng.integers(2, 14, n)
+        tl[i] = n
+    return {
+        "feats": jnp.asarray(rng.standard_normal((b, t, 8)).astype(np.float32)),
+        "feat_lengths": jnp.asarray(np.full(b, t, np.int32)),
+        "targets": jnp.asarray(targets),
+        "target_lengths": jnp.asarray(tl),
+    }
+
+
+def _init_state(rng, tx):
+    batch = _batch(rng)
+    model = Transformer(CFG)
+    variables = model.init(jax.random.PRNGKey(0), batch["feats"],
+                           batch["feat_lengths"], batch["targets"],
+                           batch["target_lengths"])
+    return model, TrainState.create(variables["params"], tx,
+                                    jax.random.PRNGKey(1))
+
+
+def test_noam_schedule_formula():
+    d, w, k = 512, 4000, 1.0
+    sched = noam_schedule(d, w, k)
+    for step in [0, 10, 3999, 4000, 10000]:
+        s = step + 1
+        want = k * d ** -0.5 * min(s ** -0.5, s * w ** -1.5)
+        np.testing.assert_allclose(float(sched(step)), want, rtol=1e-4)
+    # peak at warmup boundary
+    peak = float(sched(w - 1))
+    assert peak >= float(sched(w // 2)) and peak >= float(sched(4 * w))
+
+
+def test_train_step_reduces_loss(rng):
+    tx = make_optimizer(CFG.d_model, warmup_steps=10, k=5.0)
+    model, state = _init_state(rng, tx)
+    step = make_train_step(model, tx, donate=False)
+    batch = _batch(rng)
+    losses = []
+    for _ in range(8):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0], losses
+    assert int(state.step) == 8
+    assert np.isfinite(losses).all()
+
+
+def test_train_step_wav_mode(rng):
+    from tpu_asr.frontend import FrontendConfig
+    cfg = ModelConfig(**{**CFG.__dict__, "d_input": 80})
+    fcfg = FrontendConfig()
+    b = 2
+    wav = jnp.asarray(rng.standard_normal((b, 8000)).astype(np.float32))
+    batch = {
+        "wav": wav, "wav_lengths": jnp.asarray([8000, 6000]),
+        "targets": jnp.asarray(rng.integers(2, 14, (b, 4)).astype(np.int32)),
+        "target_lengths": jnp.asarray([4, 4]),
+    }
+    from tpu_asr.frontend import wav_to_features
+    feats, flens = wav_to_features(wav, batch["wav_lengths"], fcfg)
+    model = Transformer(cfg)
+    variables = model.init(jax.random.PRNGKey(0), feats, flens,
+                           batch["targets"], batch["target_lengths"])
+    tx = make_optimizer(cfg.d_model)
+    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(1))
+    step = make_train_step(model, tx, frontend=fcfg, donate=False)
+    state, m = step(state, batch)
+    assert np.isfinite(float(m["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path, rng):
+    from tpu_asr.train.checkpoints import Checkpointer
+    tx = make_optimizer(CFG.d_model)
+    model, state = _init_state(rng, tx)
+    step = make_train_step(model, tx, donate=False)
+    batch = _batch(rng)
+    state, _ = step(state, batch)
+    ck = Checkpointer(str(tmp_path / "ckpt"))
+    ck.save_config(CFG)
+    ck.save(state, epoch=0, cv_loss=1.5, is_best=True)
+    ck.wait()
+    cfg2 = ck.load_config()
+    assert cfg2 == CFG
+    _, fresh = _init_state(rng, tx)
+    restored, meta = ck.restore(fresh)
+    assert meta["epoch"] == 0 and abs(meta["cv_loss"] - 1.5) < 1e-9
+    assert int(restored.step) == 1
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=0),
+                 state.params, restored.params)
+
+
+def test_data_parallel_step_on_cpu_mesh(rng):
+    from tpu_asr.parallel import make_mesh, shard_batch, replicated
+    assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    mesh = make_mesh()
+    tx = make_optimizer(CFG.d_model, warmup_steps=10, k=5.0)
+    model, state = _init_state(rng, tx)
+    step = make_train_step(model, tx, donate=False, mesh=mesh)
+    batch = shard_batch({k: np.asarray(v) for k, v in
+                         _batch(rng, b=8).items()}, mesh)
+    state = jax.device_put(state, replicated(mesh))
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    # params remain replicated (one logical copy)
+    leaf = jax.tree.leaves(state.params)[0]
+    assert leaf.sharding.is_fully_replicated

@@ -1,0 +1,87 @@
+"""Named experiment presets — one per BASELINE.json config.
+
+The reference's de-facto config system is ~30 argparse flags in
+src/bin/train.py snapshot into run.sh (SURVEY.md section 5). Here each
+BASELINE.json config is a typed preset; CLI flags override fields.
+
+  1 ctc_dev    Transformer-CTC encoder, greedy decode (CPU-runnable slice)
+  2 attention  enc-dec + label smoothing + beam search
+  3 hybrid     joint CTC/attention training + joint-scoring decode
+  4 cif        CIF: weighted accumulation/firing, quantity loss, AR decoder
+  5 aishell    SpecAugment + length-bucketed large-batch full-scale training
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+
+from tpu_asr.augment import SpecAugmentConfig
+from tpu_asr.decode.beam import BeamConfig
+from tpu_asr.frontend import FrontendConfig
+from tpu_asr.models.config import ModelConfig
+
+
+@dataclasses.dataclass(frozen=True)
+class TrainConfig:
+    model: ModelConfig
+    epochs: int = 30
+    warmup_steps: int = 4000
+    lr_k: float = 1.0
+    grad_clip: float = 5.0
+    batch_frames: int = 16000      # per-batch input budget (bucket planning)
+    num_buckets: int = 4
+    max_frames_cap: int = 3000
+    max_tokens_cap: int = 200
+    specaug: SpecAugmentConfig | None = None
+    frontend: FrontendConfig = FrontendConfig()
+    beam: BeamConfig = BeamConfig()
+    decode_mode: str = "beam"      # greedy_ctc | beam | joint | cif_greedy
+    print_freq: int = 50
+    seed: int = 0
+
+
+_BASE = ModelConfig()  # d512/h8/6+6, conv2d input — reference defaults
+
+PRESETS: dict[str, TrainConfig] = {
+    # 1: CPU-runnable CTC slice (BASELINE.json config #1)
+    "ctc_dev": TrainConfig(
+        model=dataclasses.replace(
+            _BASE, model_type="ctc", d_model=256, d_inner=1024,
+            num_enc_layers=4, num_dec_layers=0),
+        epochs=20, warmup_steps=1000, batch_frames=8000,
+        decode_mode="greedy_ctc",
+        beam=BeamConfig(beam=1)),
+    # 2: attention-only Speech-Transformer (config #2)
+    "attention": TrainConfig(
+        model=dataclasses.replace(_BASE, model_type="transformer"),
+        decode_mode="beam",
+        beam=BeamConfig(beam=5, max_len=100)),
+    # 3: hybrid CTC/attention (config #3)
+    "hybrid": TrainConfig(
+        model=dataclasses.replace(_BASE, model_type="hybrid",
+                                  ctc_weight=0.3),
+        decode_mode="joint",
+        beam=BeamConfig(beam=5, max_len=100, ctc_weight=0.3)),
+    # 4: CIF (config #4)
+    "cif": TrainConfig(
+        model=dataclasses.replace(_BASE, model_type="cif", ctc_weight=0.5,
+                                  cif_quantity_weight=1.0),
+        decode_mode="cif_greedy",
+        beam=BeamConfig(beam=1, max_len=100)),
+    # 5: full-scale AISHELL training recipe (config #5)
+    "aishell": TrainConfig(
+        model=dataclasses.replace(_BASE, model_type="hybrid",
+                                  ctc_weight=0.3, dtype=jnp.bfloat16),
+        epochs=80, batch_frames=32000, num_buckets=6,
+        specaug=SpecAugmentConfig(),
+        decode_mode="joint",
+        beam=BeamConfig(beam=10, max_len=100, ctc_weight=0.3)),
+}
+
+
+def get_preset(name: str) -> TrainConfig:
+    if name not in PRESETS:
+        raise KeyError(f"unknown preset {name!r}; have {sorted(PRESETS)}")
+    return PRESETS[name]

@@ -1,0 +1,122 @@
+"""Batched data loader: bucket-padded numpy batches with thread prefetch.
+
+Reference: src/data/data.py `AudioDataLoader`/`_collate_fn` (worker
+processes read kaldi mats, LFR-stack, pad to batch max). TPU redesign: the
+collate pads to the *bucket's* static shape, feature extraction moved on
+device (wav mode), and a single background thread keeps the device fed
+(the model step dominates; Python IO overlaps it).
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+
+import numpy as np
+
+from tpu_asr import IGNORE_ID
+from tpu_asr.data.bucketing import Bucket, plan_batches
+from tpu_asr.data.manifest import Utterance
+
+
+class DataLoader:
+    def __init__(
+        self,
+        utts: list[Utterance],
+        buckets: list[Bucket],
+        mode: str = "wav",                 # wav | feat
+        waves: dict | None = None,         # in-memory wavs (tests/bench)
+        feats: dict | None = None,         # in-memory features
+        shuffle: bool = True,
+        sort_by_length: bool = True,
+        drop_last: bool = False,
+        seed: int = 0,
+        prefetch: int = 2,
+        epoch: int = 0,
+    ):
+        assert mode in ("wav", "feat")
+        self.utts = utts
+        self.buckets = buckets
+        self.mode = mode
+        self.waves = waves or {}
+        self.feats = feats or {}
+        self.shuffle = shuffle
+        self.sort_by_length = sort_by_length
+        self.drop_last = drop_last
+        self.seed = seed
+        self.prefetch = prefetch
+        self.epoch = epoch
+        self.length_key = "num_samples" if mode == "wav" else "num_frames"
+
+    def _load_input(self, u: Utterance) -> np.ndarray:
+        if self.mode == "wav":
+            if u.id in self.waves:
+                return self.waves[u.id]
+            assert u.wav, f"no wav for {u.id}"
+            return np.load(u.wav)
+        if u.id in self.feats:
+            return self.feats[u.id]
+        assert u.feat, f"no feat for {u.id}"
+        if u.feat.endswith(".npy"):
+            return np.load(u.feat)
+        from tpu_asr.data.kaldi_io import read_mat
+        return read_mat(u.feat)
+
+    def _make_batch(self, bucket: Bucket, idxs: list[int]) -> dict:
+        n = len(idxs)
+        us = [self.utts[i] for i in idxs]
+        tmax, umax = bucket.max_frames, bucket.max_tokens
+        targets = np.full((n, umax), IGNORE_ID, np.int32)
+        tlens = np.zeros((n,), np.int32)
+        for j, u in enumerate(us):
+            targets[j, : len(u.tokens)] = u.tokens
+            tlens[j] = len(u.tokens)
+        if self.mode == "wav":
+            wav = np.zeros((n, tmax), np.float32)
+            wlens = np.zeros((n,), np.int32)
+            for j, u in enumerate(us):
+                x = self._load_input(u)
+                wav[j, : len(x)] = x
+                wlens[j] = len(x)
+            return {"wav": wav, "wav_lengths": wlens, "targets": targets,
+                    "target_lengths": tlens,
+                    "ids": [u.id for u in us]}
+        d = self._load_input(us[0]).shape[-1]
+        feats = np.zeros((n, tmax, d), np.float32)
+        flens = np.zeros((n,), np.int32)
+        for j, u in enumerate(us):
+            x = self._load_input(u)
+            feats[j, : x.shape[0]] = x
+            flens[j] = x.shape[0]
+        return {"feats": feats, "feat_lengths": flens, "targets": targets,
+                "target_lengths": tlens, "ids": [u.id for u in us]}
+
+    def __len__(self):
+        return len(plan_batches(self.utts, self.buckets, shuffle=False,
+                                sort_by_length=self.sort_by_length,
+                                drop_last=self.drop_last,
+                                length_key=self.length_key))
+
+    def __iter__(self):
+        plan = plan_batches(
+            self.utts, self.buckets, shuffle=self.shuffle,
+            sort_by_length=self.sort_by_length, drop_last=self.drop_last,
+            seed=self.seed + self.epoch, length_key=self.length_key)
+        self.epoch += 1
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def producer():
+            try:
+                for bi, idxs in plan:
+                    q.put(self._make_batch(self.buckets[bi], idxs))
+            finally:
+                q.put(stop)
+
+        t = threading.Thread(target=producer, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item

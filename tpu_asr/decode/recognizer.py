@@ -1,0 +1,101 @@
+"""High-level batched recognizer: manifest batches -> hypothesis tokens.
+
+Replaces the reference's src/bin/recognize.py inner loop (per-utterance,
+host-driven). Batches stream through jit-compiled decode functions (one
+executable per bucket shape); all four decode modes of the reference family
+are covered: greedy CTC, attention beam, joint CTC/attention rescoring, and
+CIF greedy.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpu_asr.decode.beam import BeamConfig, attention_beam_search
+from tpu_asr.decode.cif_decode import cif_greedy_decode
+from tpu_asr.decode.greedy_ctc import ctc_greedy_decode
+from tpu_asr.frontend import FrontendConfig, wav_to_features
+from tpu_asr.models import CifModel, ModelConfig, Transformer
+from tpu_asr.models.decoder import Decoder
+
+
+@dataclasses.dataclass(eq=False)  # identity hash: self is a static jit arg
+class Recognizer:
+    cfg: ModelConfig
+    params: dict
+    beam: BeamConfig = BeamConfig()
+    mode: str = "beam"            # greedy_ctc | beam | joint | cif_greedy
+    frontend: FrontendConfig = FrontendConfig()
+
+    def __post_init__(self):
+        assert self.mode in ("greedy_ctc", "beam", "joint", "cif_greedy")
+        if self.mode == "cif_greedy":
+            self.model = CifModel(self.cfg)
+        else:
+            self.model = Transformer(self.cfg)
+        self._jitted = {}
+
+    # --- jitted per-shape programs ---
+
+    def _features(self, batch):
+        if "wav" in batch:
+            return wav_to_features(batch["wav"], batch["wav_lengths"],
+                                   self.frontend)
+        return batch["feats"], batch["feat_lengths"]
+
+    @partial(jax.jit, static_argnums=0)
+    def _greedy_ctc(self, params, batch):
+        feats, flens = self._features(batch)
+        enc_out, el = self.model.apply(params, feats, flens,
+                                       method=Transformer.encode)
+        logits = self.model.apply(params, enc_out,
+                                  method=Transformer.ctc_logits)
+        return ctc_greedy_decode(logits, el)
+
+    @partial(jax.jit, static_argnums=0)
+    def _beam(self, params, batch):
+        feats, flens = self._features(batch)
+        enc_out, el = self.model.apply(params, feats, flens,
+                                       method=Transformer.encode)
+        dec = Decoder(self.cfg)
+        dp = {"params": params["params"]["decoder"]}
+        ctc_logp = None
+        if self.mode == "joint":
+            lg = self.model.apply(params, enc_out,
+                                  method=Transformer.ctc_logits)
+            ctc_logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+        out = attention_beam_search(
+            dec, dp, enc_out, el, self.cfg.vocab_size - 2,
+            self.cfg.vocab_size - 1, self.beam, ctc_logp=ctc_logp)
+        return out["tokens"][:, 0], out["lengths"][:, 0]
+
+    @partial(jax.jit, static_argnums=0)
+    def _cif(self, params, batch):
+        feats, flens = self._features(batch)
+        return cif_greedy_decode(self.model, params, feats, flens,
+                                 max_len=self.beam.max_len)
+
+    # --- public API ---
+
+    def decode_batch(self, batch) -> list[list[int]]:
+        """batch: loader dict -> list of token-id hypotheses."""
+        arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
+        if self.mode == "greedy_ctc":
+            toks, lens = self._greedy_ctc(self.params, arrays)
+        elif self.mode in ("beam", "joint"):
+            toks, lens = self._beam(self.params, arrays)
+        else:
+            toks, lens = self._cif(self.params, arrays)
+        toks, lens = np.asarray(toks), np.asarray(lens)
+        eos = self.cfg.vocab_size - 1
+        hyps = []
+        for i in range(toks.shape[0]):
+            seq = [int(t) for t in toks[i, : lens[i]]
+                   if int(t) >= 0 and int(t) != eos]
+            hyps.append(seq)
+        return hyps

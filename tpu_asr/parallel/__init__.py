@@ -1,0 +1,4 @@
+from tpu_asr.parallel.mesh import (make_mesh, batch_sharding, replicated,
+                                   shard_batch)
+
+__all__ = ["make_mesh", "batch_sharding", "replicated", "shard_batch"]

@@ -1,0 +1,41 @@
+"""Device mesh + sharding rules: SPMD data parallelism over ICI.
+
+The reference has NO distributed layer (SURVEY.md section 2.3: single
+process, at most intra-node DataParallel). This module is its first-class
+TPU replacement: a `jax.sharding.Mesh` with a 'data' axis (and an optional
+'model' axis for tensor parallelism of the FFN/attention weights — cheap to
+express, off by default for this model size). The jitted train step takes
+batch arrays sharded along 'data' and replicated params; XLA GSPMD inserts
+the gradient psum over ICI. Multi-host extends the same mesh via
+jax.distributed.initialize (same code path).
+"""
+
+from __future__ import annotations
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int | None = None, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = devices if devices is not None else jax.devices()
+    if n_data is None:
+        n_data = len(devices) // n_model
+    devs = np.asarray(devices[: n_data * n_model]).reshape(n_data, n_model)
+    return Mesh(devs, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Leading (batch) axis sharded along 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a host batch dict onto the mesh, sharded along 'data'."""
+    s = batch_sharding(mesh)
+    return {k: jax.device_put(v, s) for k, v in batch.items()}

@@ -1,0 +1,92 @@
+"""Checkpointing: orbax-backed save/restore with hyperparam sidecar.
+
+Reference: `Transformer.serialize`/`load_model` + Solver's per-epoch
+`torch.save(epoch%d.pth.tar)`, best-by-cv-loss copy, and `--continue_from`
+(SURVEY.md 3.3). Here: orbax CheckpointManager holds (params, opt state,
+step, rng); the model config is a JSON sidecar so `load_model` can rebuild
+the module without the training script's flags — same round-trip contract.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+from typing import Any
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+from tpu_asr.models.config import ModelConfig
+
+
+def _config_to_json(cfg: ModelConfig) -> dict:
+    d = dataclasses.asdict(cfg)
+    d["dtype"] = np.dtype(cfg.dtype).name
+    d["param_dtype"] = np.dtype(cfg.param_dtype).name
+    return d
+
+
+def _config_from_json(d: dict) -> ModelConfig:
+    import jax.numpy as jnp
+    d = dict(d)
+    d["dtype"] = jnp.dtype(d["dtype"])
+    d["param_dtype"] = jnp.dtype(d["param_dtype"])
+    return ModelConfig(**d)
+
+
+class Checkpointer:
+    def __init__(self, directory: str, max_to_keep: int = 5):
+        self.directory = os.path.abspath(directory)
+        os.makedirs(self.directory, exist_ok=True)
+        self.manager = ocp.CheckpointManager(
+            self.directory,
+            options=ocp.CheckpointManagerOptions(
+                max_to_keep=max_to_keep, create=True,
+                best_fn=None, enable_async_checkpointing=True),
+        )
+
+    def save_config(self, cfg: ModelConfig) -> None:
+        with open(os.path.join(self.directory, "model_config.json"), "w") as f:
+            json.dump(_config_to_json(cfg), f, indent=2)
+
+    def load_config(self) -> ModelConfig:
+        with open(os.path.join(self.directory, "model_config.json")) as f:
+            return _config_from_json(json.load(f))
+
+    def save(self, state, epoch: int = 0, cv_loss: float = 0.0,
+             is_best: bool = False) -> None:
+        step = int(state.step)
+        meta = {"epoch": epoch, "cv_loss": float(cv_loss),
+                "is_best": bool(is_best)}
+        self.manager.save(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardSave(state),
+                meta=ocp.args.JsonSave(meta)))
+        if is_best:
+            with open(os.path.join(self.directory, "best.json"), "w") as f:
+                json.dump({"step": step, **meta}, f)
+
+    def wait(self):
+        self.manager.wait_until_finished()
+
+    def latest_step(self):
+        return self.manager.latest_step()
+
+    def best_step(self):
+        path = os.path.join(self.directory, "best.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)["step"]
+        return self.latest_step()
+
+    def restore(self, abstract_state, step: int | None = None):
+        """Restore into the structure of `abstract_state` (a TrainState with
+        correctly-shaped arrays, e.g. freshly initialized)."""
+        step = step if step is not None else self.latest_step()
+        restored = self.manager.restore(
+            step, args=ocp.args.Composite(
+                state=ocp.args.StandardRestore(abstract_state),
+                meta=ocp.args.JsonRestore()))
+        return restored["state"], restored["meta"]
