@@ -1,0 +1,159 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver-run, real TPU).
+
+Headline: AISHELL-shaped decode inverse-RTF (seconds of audio decoded per
+wall second) of the flagship hybrid CTC/attention model using the compiled
+joint-scoring beam search, versus the SAME weights running the
+reference-style host-driven PyTorch-CPU beam decode (tpu_asr.parity
+.torch_twin) — BASELINE.json's ">=10x the PyTorch CPU reference
+inverse-RTF per v5e chip" target.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+# AISHELL-ish workload: ~10 s utterances, 80-dim fbank @ 100 fps
+T_FRAMES = 1000
+AUDIO_S = T_FRAMES * 0.01
+U_TOK = 24
+BATCH = 32
+N_BATCHES = 4
+BEAM = 5
+MAX_LEN = 40
+TORCH_UTTS = 2
+
+
+def build():
+    import jax
+    import jax.numpy as jnp
+    from tpu_asr.models import ModelConfig, Transformer
+
+    cfg = ModelConfig(vocab_size=4233, model_type="hybrid", ctc_weight=0.3,
+                      dtype=jnp.bfloat16)
+    model = Transformer(cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(
+        rng.standard_normal((BATCH, T_FRAMES, 80)).astype(np.float32))
+    flens = jnp.asarray(np.full(BATCH, T_FRAMES, np.int32))
+    targets = jnp.asarray(rng.integers(2, 4231, (BATCH, U_TOK)).astype(np.int32))
+    tlens = jnp.asarray(np.full(BATCH, U_TOK, np.int32))
+    params = model.init(jax.random.PRNGKey(0), feats, flens, targets, tlens)
+    return cfg, model, params, (feats, flens, targets, tlens)
+
+
+def bench_decode_tpu(cfg, params, feats, flens):
+    import jax
+    from tpu_asr.decode.beam import BeamConfig
+    from tpu_asr.decode.recognizer import Recognizer
+
+    rec = Recognizer(cfg=cfg, params=params,
+                     beam=BeamConfig(beam=BEAM, max_len=MAX_LEN,
+                                     ctc_weight=0.3),
+                     mode="joint")
+    batch = {"feats": feats, "feat_lengths": flens}
+    t0 = time.time()
+    rec.decode_batch(batch)
+    log(f"decode compile+first batch: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(N_BATCHES):
+        rec.decode_batch(batch)
+    wall = time.time() - t0
+    audio = BATCH * N_BATCHES * AUDIO_S
+    return audio / wall
+
+
+def bench_train_tpu(cfg, model, params, batch_arrays):
+    import jax
+    from tpu_asr.train import TrainState, make_optimizer, make_train_step
+    feats, flens, targets, tlens = batch_arrays
+    tx = make_optimizer(cfg.d_model)
+    state = TrainState.create(params["params"], tx, jax.random.PRNGKey(1))
+    step = make_train_step(model, tx, donate=True)
+    batch = {"feats": feats, "feat_lengths": flens, "targets": targets,
+             "target_lengths": tlens}
+    t0 = time.time()
+    state, m = step(state, batch)
+    float(m["loss"])
+    log(f"train compile+first step: {time.time()-t0:.1f}s")
+    n = 10
+    t0 = time.time()
+    for _ in range(n):
+        state, m = step(state, batch)
+    float(m["loss"])
+    wall = time.time() - t0
+    return n / wall
+
+
+def bench_torch_baseline(cfg, params):
+    import dataclasses
+    import jax.numpy as jnp
+    import torch
+    from tpu_asr.parity.torch_twin import (TorchTransformer,
+                                           import_flax_params)
+    torch.set_num_threads(torch.get_num_threads())
+    cfg32 = dataclasses.replace(cfg, dtype=jnp.float32)
+    twin = TorchTransformer(cfg32)
+    import_flax_params(twin, params)
+    twin.eval()
+    rng = np.random.default_rng(1)
+    wall = 0.0
+    for i in range(TORCH_UTTS):
+        feats = torch.tensor(
+            rng.standard_normal((1, T_FRAMES, 80)).astype(np.float32))
+        fl = torch.tensor([T_FRAMES])
+        t0 = time.time()
+        twin.beam_decode_utt(feats, fl, beam=BEAM, max_len=16)
+        wall += time.time() - t0
+    audio = TORCH_UTTS * AUDIO_S
+    return audio / wall
+
+
+def main():
+    cfg, model, params, batch_arrays = build()
+    feats, flens, targets, tlens = batch_arrays
+
+    inv_rtf = bench_decode_tpu(cfg, params, feats, flens)
+    log(f"tpu joint-beam decode inverse-RTF: {inv_rtf:.1f}")
+
+    try:
+        torch_inv_rtf = bench_torch_baseline(cfg, params)
+        log(f"torch-cpu reference-style beam inverse-RTF: {torch_inv_rtf:.2f}")
+    except Exception as e:  # keep the bench robust
+        log(f"torch baseline failed: {e!r}")
+        torch_inv_rtf = float("nan")
+
+    # train bench donates params — must run last
+    steps_per_sec = bench_train_tpu(cfg, model, params, batch_arrays)
+    log(f"tpu hybrid train steps/sec (b={BATCH}, T={T_FRAMES}): "
+        f"{steps_per_sec:.2f}")
+
+    vs = inv_rtf / torch_inv_rtf if torch_inv_rtf == torch_inv_rtf else 0.0
+    print(json.dumps({
+        "metric": "joint_beam_decode_inverse_rtf",
+        "value": round(inv_rtf, 2),
+        "unit": "x_realtime_per_chip",
+        "vs_baseline": round(vs, 2),
+        "extras": {
+            "train_steps_per_sec": round(steps_per_sec, 3),
+            "train_batch": {"b": BATCH, "frames": T_FRAMES},
+            "torch_cpu_inverse_rtf": (round(torch_inv_rtf, 2)
+                                      if vs else None),
+            "beam": BEAM, "max_len": MAX_LEN,
+        },
+    }))
+
+
+if __name__ == "__main__":
+    main()

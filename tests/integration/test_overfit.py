@@ -23,7 +23,7 @@ SMALL = dict(vocab_size=VOCAB, d_input=80, d_model=64, d_inner=128,
 
 def synth_batch(n=8, seed=0, max_tokens=5):
     utts, waves = make_synthetic_dataset(
-        n, VOCAB, min_tokens=2, max_tokens=max_tokens, tone_ms=80, seed=seed)
+        n, VOCAB, min_tokens=2, max_tokens=max_tokens, tone_ms=160, seed=seed)
     smax = max(u.num_samples for u in utts)
     umax = max(u.num_tokens for u in utts)
     wav = np.zeros((n, smax), np.float32)
@@ -41,7 +41,7 @@ def synth_batch(n=8, seed=0, max_tokens=5):
             "target_lengths": jnp.asarray(tl)}, utts
 
 
-def overfit(model, batch, steps=120, k=3.0, warmup=30):
+def overfit(model, batch, steps=400, k=1.0, warmup=100):
     tx = make_optimizer(model.cfg.d_model, warmup_steps=warmup, k=k)
     variables = model.init(jax.random.PRNGKey(0), batch["feats"],
                            batch["feat_lengths"], batch["targets"],
@@ -61,8 +61,8 @@ def test_overfit_ctc_and_exact_greedy_decode():
     cfg = ModelConfig(**SMALL, model_type="ctc")
     batch, utts = synth_batch()
     model = Transformer(cfg)
-    state, first, last = overfit(model, batch, steps=150)
-    assert last < first * 0.2, (first, last)
+    state, first, last = overfit(model, batch)
+    assert last < first * 0.05, (first, last)
     from tpu_asr.decode.greedy_ctc import ctc_greedy_decode
     params = {"params": state.params}
     enc, el = model.apply(params, batch["feats"], batch["feat_lengths"],
@@ -78,8 +78,9 @@ def test_overfit_hybrid_and_beam_decode():
     cfg = ModelConfig(**SMALL, model_type="hybrid", ctc_weight=0.3)
     batch, utts = synth_batch()
     model = Transformer(cfg)
-    state, first, last = overfit(model, batch, steps=150)
-    assert last < first * 0.3, (first, last)
+    state, first, last = overfit(model, batch)
+    # label smoothing floors CE around 0.6 nats at V=16 — threshold allows it
+    assert last < first * 0.25, (first, last)
     params = {"params": state.params}
     from tpu_asr.decode.beam import BeamConfig, attention_beam_search
     from tpu_asr.models.decoder import Decoder
@@ -105,7 +106,7 @@ def test_overfit_cif_and_decode():
                       cif_quantity_weight=1.0)
     batch, utts = synth_batch()
     model = CifModel(cfg)
-    state, first, last = overfit(model, batch, steps=200, k=3.0)
+    state, first, last = overfit(model, batch, steps=500)
     assert last < first * 0.5, (first, last)
     from tpu_asr.decode.cif_decode import cif_greedy_decode
     params = {"params": state.params}

@@ -106,9 +106,15 @@ class Transformer(nn.Module):
         if self.has_ctc:
             ctc_lg = self.ctc_logits(enc_out)
             safe_targets = jnp.where(targets == IGNORE_ID, 0, targets)
-            loss_ctc = ctc_loss(ctc_lg, safe_targets, enc_lengths,
-                                target_lengths, blank=0,
-                                reduction="mean_label")
+            if c.use_pallas:
+                from tpu_asr.ops.pallas.ctc import ctc_loss_pallas
+                loss_ctc = ctc_loss_pallas(ctc_lg, safe_targets, enc_lengths,
+                                           target_lengths, blank=0,
+                                           reduction="mean_label")
+            else:
+                loss_ctc = ctc_loss(ctc_lg, safe_targets, enc_lengths,
+                                    target_lengths, blank=0,
+                                    reduction="mean_label")
             out["loss_ctc"] = loss_ctc
             if self.has_decoder:
                 lam = c.ctc_weight

@@ -27,6 +27,20 @@ def _interleave_blanks(labels: jnp.ndarray, blank: int) -> jnp.ndarray:
     return z.at[:, 1::2].set(labels)
 
 
+def gather_emissions(log_probs: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
+    """E[b,t,s] = log_probs[b,t,z[b,s]] via a one-hot MXU matmul.
+
+    TPU gathers along the vocab axis are ~5x slower than this einsum (and
+    its autodiff transpose gives the scatter-add for free on the MXU);
+    HIGHEST precision makes the selection exact.
+    """
+    v = log_probs.shape[-1]
+    onehot = (z[:, :, None] == jnp.arange(v)[None, None, :]).astype(
+        log_probs.dtype)
+    return jnp.einsum("btv,bsv->bts", log_probs, onehot,
+                      precision=jax.lax.Precision.HIGHEST)
+
+
 def ctc_forward_alphas(
     log_probs: jnp.ndarray,
     labels: jnp.ndarray,
@@ -51,19 +65,19 @@ def ctc_forward_alphas(
     # Lattice positions beyond 2*label_len are invalid (labels padded short).
     valid_s = s_pos <= 2 * label_lengths[:, None]
 
-    # Emission log-probs per lattice position, gathered once per step inside
-    # the scan (gather of [B, S] from [B, V]).
-    def gather_emit(logp_t):
-        return jnp.take_along_axis(logp_t, z, axis=1)            # [B, S]
+    # Emission log-probs per lattice position, gathered ONCE up front:
+    # E [B, T, S] is ~30x smaller than log_probs for char vocabs, so the
+    # sequential scan only touches small arrays (same trick feeds the
+    # Pallas kernel).
+    emissions = gather_emissions(log_probs, z)                   # [B, T, S]
 
     alpha0 = jnp.full((b, s), NEG_INF)
-    emit0 = gather_emit(log_probs[:, 0])
+    emit0 = emissions[:, 0]
     alpha0 = alpha0.at[:, 0].set(emit0[:, 0])
     alpha0 = alpha0.at[:, 1].set(jnp.where(label_lengths > 0, emit0[:, 1], NEG_INF))
 
     def step(alpha, inputs):
-        logp_t, t_idx = inputs
-        emit = gather_emit(logp_t)                               # [B, S]
+        emit, t_idx = inputs                                     # [B, S]
         a_prev = alpha
         a_shift1 = jnp.concatenate(
             [jnp.full((b, 1), NEG_INF), alpha[:, :-1]], axis=1)
@@ -79,7 +93,7 @@ def ctc_forward_alphas(
 
     ts = jnp.arange(1, t)
     alpha_final, _ = jax.lax.scan(
-        step, alpha0, (jnp.moveaxis(log_probs[:, 1:], 1, 0), ts))
+        step, alpha0, (jnp.moveaxis(emissions[:, 1:], 1, 0), ts))
 
     end = 2 * label_lengths                                      # [B]
     last = jnp.take_along_axis(alpha_final, end[:, None], axis=1)[:, 0]

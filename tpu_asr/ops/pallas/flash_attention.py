@@ -1,0 +1,206 @@
+"""Pallas flash attention (tiled online-softmax) for TPU.
+
+BASELINE.json pins "attention ... as Pallas kernels". Forward is a classic
+flash kernel: grid (B, H, q_tiles, k_tiles), K/V streamed through VMEM,
+online max/sum renormalization in VMEM scratch, O(T) memory — the [Tq, Tk]
+score matrix never hits HBM. Handles the two mask shapes this framework
+uses (key-padding via lengths, and causal); arbitrary additive biases fall
+back to the XLA path in tpu_asr.models.attention.
+
+Backward uses the standard recompute-in-XLA strategy (einsum attention
+under custom_vjp): at ASR sequence lengths (post-subsample T <= ~512) the
+backward matmuls are MXU-bound either way; the flash win is forward decode
+and activation memory.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = -1e30
+DEFAULT_TQ = 128
+DEFAULT_TK = 128
+
+
+def _cdiv(a, b):
+    return (a + b - 1) // b
+
+
+def _flash_kernel(q_ref, k_ref, v_ref, kvalid_ref, o_ref,
+                  m_scr, l_scr, acc_scr, *, scale, causal, tq, tk, n_k):
+    ik = pl.program_id(3)
+    iq = pl.program_id(2)
+
+    @pl.when(ik == 0)
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, NEG_INF)
+        l_scr[:] = jnp.zeros_like(l_scr)
+        acc_scr[:] = jnp.zeros_like(acc_scr)
+
+    def compute():
+        q = q_ref[0, 0]                       # [TQ, dh]
+        k = k_ref[0, 0]                       # [TK, dh]
+        v = v_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32) * scale   # [TQ, TK]
+        kv = kvalid_ref[0]                    # [TK] f32 (1 = valid)
+        s = jnp.where(kv[None, :] > 0.5, s, NEG_INF)
+        if causal:
+            rows = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0) + iq * tq
+            cols = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 1) + ik * tk
+            s = jnp.where(rows >= cols, s, NEG_INF)
+        m_prev = m_scr[:]                     # [TQ, 1]
+        m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+        # all-masked rows: keep m at NEG_INF but avoid exp overflow
+        m_safe = jnp.maximum(m_new, NEG_INF / 2)
+        p = jnp.exp(s - m_safe)
+        p = jnp.where(s <= NEG_INF / 2, 0.0, p)
+        corr = jnp.exp(jnp.maximum(m_prev, NEG_INF / 2) - m_safe)
+        corr = jnp.where(m_prev <= NEG_INF / 2, 0.0, corr)
+        l_scr[:] = l_scr[:] * corr + jnp.sum(p, axis=1, keepdims=True)
+        pv = jax.lax.dot_general(
+            p, v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        acc_scr[:] = acc_scr[:] * corr + pv
+        m_scr[:] = m_new
+
+    if causal:
+        # skip key tiles strictly above the diagonal
+        @pl.when(ik * tk <= iq * tq + tq - 1)
+        def _():
+            compute()
+    else:
+        compute()
+
+    @pl.when(ik == n_k - 1)
+    def _():
+        l = jnp.maximum(l_scr[:], 1e-30)
+        o_ref[0, 0] = (acc_scr[:] / l).astype(o_ref.dtype)
+
+
+def _flash_forward(q, k, v, kv_valid, causal, tq_blk, tk_blk, interpret):
+    """q/k/v: [B, H, T, dh] (dh-padded to >= 128 not required)."""
+    b, h, tq_len, dh = q.shape
+    tk_len = k.shape[2]
+    n_q = _cdiv(tq_len, tq_blk)
+    n_k = _cdiv(tk_len, tk_blk)
+    scale = 1.0 / (dh ** 0.5)
+    kernel = pl.pallas_call(
+        functools.partial(_flash_kernel, scale=scale, causal=causal,
+                          tq=tq_blk, tk=tk_blk, n_k=n_k),
+        grid=(b, h, n_q, n_k),
+        in_specs=[
+            pl.BlockSpec((1, 1, tq_blk, dh),
+                         lambda b_, h_, iq, ik: (b_, h_, iq, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk_blk, dh),
+                         lambda b_, h_, iq, ik: (b_, h_, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, tk_blk, dh),
+                         lambda b_, h_, iq, ik: (b_, h_, ik, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, tk_blk),
+                         lambda b_, h_, iq, ik: (b_, ik),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, tq_blk, dh),
+                               lambda b_, h_, iq, ik: (b_, h_, iq, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, n_q * tq_blk, dh), q.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((tq_blk, 1), jnp.float32),
+            pltpu.VMEM((tq_blk, 1), jnp.float32),
+            pltpu.VMEM((tq_blk, dh), jnp.float32),
+        ],
+        interpret=interpret,
+    )
+    return kernel(q, k, v, kv_valid)[:, :, :tq_len]
+
+
+def _xla_attention(q, k, v, kv_valid, causal):
+    """Reference einsum attention on [B, Tq, H, dh] layout (backward path)."""
+    dh = q.shape[-1]
+    s = jnp.einsum("bqhd,bkhd->bhqk", q, k,
+                   preferred_element_type=jnp.float32) / (dh ** 0.5)
+    mask = kv_valid[:, None, None, :] > 0.5
+    if causal:
+        tq, tk = s.shape[-2], s.shape[-1]
+        mask = mask & (jnp.arange(tq)[:, None] >= jnp.arange(tk)[None, :])
+    s = jnp.where(mask, s, NEG_INF)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bkhd->bqhd", p, v).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _flash(q, k, v, kv_valid, causal, interpret):
+    qt = jnp.moveaxis(q, 2, 1)    # [B, H, T, dh]
+    kt = jnp.moveaxis(k, 2, 1)
+    vt = jnp.moveaxis(v, 2, 1)
+    tq_blk = min(DEFAULT_TQ, max(qt.shape[2], 8))
+    tk_blk = min(DEFAULT_TK, max(kt.shape[2], 8))
+    # pad T to block multiples
+    def padt(x, blk):
+        t = x.shape[2]
+        pad = _cdiv(t, blk) * blk - t
+        return jnp.pad(x, ((0, 0), (0, 0), (0, pad), (0, 0))) if pad else x
+    qt = padt(qt, tq_blk)
+    ktp = padt(kt, tk_blk)
+    vtp = padt(vt, tk_blk)
+    kvp = kv_valid
+    pad_k = ktp.shape[2] - kv_valid.shape[1]
+    if pad_k:
+        kvp = jnp.pad(kv_valid, ((0, 0), (0, pad_k)))
+    out = _flash_forward(qt, ktp, vtp, kvp, causal, tq_blk, tk_blk,
+                         interpret)
+    return jnp.moveaxis(out, 1, 2)[:, : q.shape[1]]
+
+
+def _flash_fwd(q, k, v, kv_valid, causal, interpret):
+    return _flash(q, k, v, kv_valid, causal, interpret), (q, k, v, kv_valid)
+
+
+def _flash_bwd(causal, interpret, res, g):
+    q, k, v, kv_valid = res
+    _, vjp = jax.vjp(lambda q_, k_, v_: _xla_attention(q_, k_, v_, kv_valid,
+                                                       causal), q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash.defvjp(_flash_fwd, _flash_bwd)
+
+
+def flash_attention(q, k, v, bias=None, kv_valid=None, causal=False,
+                    interpret=None):
+    """q [B,Tq,H,dh], k/v [B,Tk,H,dh] -> [B,Tq,H,dh].
+
+    Pass kv_valid [B, Tk] (f32/bool) and/or causal=True. A generic additive
+    `bias` falls back to XLA attention (models pass masks, not biases, on
+    the pallas path).
+    """
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    b, tk = k.shape[0], k.shape[1]
+    if bias is not None:
+        # interpret the two known mask biases; else fall back
+        if bias.ndim == 4 and bias.shape[1] == 1 and bias.shape[2] == 1:
+            kv_valid = (bias[:, 0, 0, :] > NEG_INF / 2).astype(jnp.float32)
+            if kv_valid.shape[0] == 1 and b > 1:
+                kv_valid = jnp.broadcast_to(kv_valid, (b, tk))
+        elif (bias.ndim == 4 and bias.shape[0] == 1 and bias.shape[1] == 1
+              and bias.shape[2] == bias.shape[3] == tk):
+            causal = True  # our causal self-attention bias
+            kv_valid = jnp.ones((b, tk), jnp.float32)
+        else:
+            return _xla_attention(
+                q, k, v, jnp.ones((b, tk), jnp.float32), causal)
+    if kv_valid is None:
+        kv_valid = jnp.ones((b, tk), jnp.float32)
+    kv_valid = kv_valid.astype(jnp.float32)
+    return _flash(q, k, v, kv_valid, causal, interpret)
