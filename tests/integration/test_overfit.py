@@ -103,11 +103,11 @@ def test_overfit_hybrid_and_beam_decode():
 
 def test_overfit_cif_and_decode():
     cfg = ModelConfig(**SMALL, model_type="cif", ctc_weight=0.0,
-                      cif_quantity_weight=1.0)
+                      cif_quantity_weight=2.0)
     batch, utts = synth_batch()
     model = CifModel(cfg)
-    state, first, last = overfit(model, batch, steps=500)
-    assert last < first * 0.5, (first, last)
+    state, first, last = overfit(model, batch, steps=600)
+    assert last < first * 0.25, (first, last)
     from tpu_asr.decode.cif_decode import cif_greedy_decode
     params = {"params": state.params}
     # reconstruct wav batch for decode path (feats already computed fine)

@@ -73,7 +73,8 @@ PRESETS: dict[str, TrainConfig] = {
     # 5: full-scale AISHELL training recipe (config #5)
     "aishell": TrainConfig(
         model=dataclasses.replace(_BASE, model_type="hybrid",
-                                  ctc_weight=0.3, dtype=jnp.bfloat16),
+                                  ctc_weight=0.3, dtype=jnp.bfloat16,
+                                  pallas_ctc=True),
         epochs=80, batch_frames=32000, num_buckets=6,
         specaug=SpecAugmentConfig(),
         decode_mode="joint",

@@ -143,6 +143,9 @@ class CifModel(nn.Module):
         return enc_out, enc_lengths, alphas, valid
 
     def fire(self, enc_out, alphas, u_max):
+        if self.cfg.cif_pallas:
+            from tpu_asr.ops.pallas.cif import cif_fire_pallas
+            return cif_fire_pallas(enc_out, alphas, u_max)
         return cif_fire(enc_out.astype(jnp.float32), alphas, u_max)
 
     def decode_logits(self, ys_in, fired, deterministic: bool = True):
@@ -172,7 +175,7 @@ class CifModel(nn.Module):
         if self.use_ctc:
             ctc_lg = self.ctc_logits(enc_out)
             safe_targets = jnp.where(targets == IGNORE_ID, 0, targets)
-            if c.use_pallas:
+            if c.ctc_pallas:
                 from tpu_asr.ops.pallas.ctc import ctc_loss_pallas
                 loss_ctc = ctc_loss_pallas(ctc_lg, safe_targets, enc_lengths,
                                            target_lengths, blank=0,

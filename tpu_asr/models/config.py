@@ -37,7 +37,30 @@ class ModelConfig:
     # numerics
     dtype: jnp.dtype = jnp.float32    # compute dtype (bfloat16 on TPU)
     param_dtype: jnp.dtype = jnp.float32
-    use_pallas: bool = False          # Pallas kernels for hot ops (TPU only)
+    # Pallas kernel selection. use_pallas is the master switch; the per-op
+    # flags override it (None = follow master). Measured on v5e: the pallas
+    # CTC pair matches XLA-scan speed with lower memory (good default on
+    # TPU); flash attention only wins for long sequences (post-subsample
+    # T >~ 512) — XLA's fused attention is faster at ASR lengths.
+    use_pallas: bool = False
+    pallas_attention: bool | None = None
+    pallas_ctc: bool | None = None
+    pallas_cif: bool | None = None
+
+    def _resolve(self, flag):
+        return self.use_pallas if flag is None else flag
+
+    @property
+    def attention_pallas(self) -> bool:
+        return self._resolve(self.pallas_attention)
+
+    @property
+    def ctc_pallas(self) -> bool:
+        return self._resolve(self.pallas_ctc)
+
+    @property
+    def cif_pallas(self) -> bool:
+        return self._resolve(self.pallas_cif)
 
     @property
     def d_head(self) -> int:

@@ -31,7 +31,7 @@ class EncoderLayer(nn.Module):
         c = self.cfg
         self.slf_attn = MultiHeadAttention(
             c.num_heads, c.d_model, c.dropout, c.dtype, c.param_dtype,
-            use_pallas=c.use_pallas)
+            use_pallas=c.attention_pallas)
         self.ffn = PositionwiseFeedForward(
             c.d_model, c.d_inner, c.dropout, c.dtype, c.param_dtype)
         self.post_attn = PostNormBlock(c.d_model, c.dropout, c.dtype)

@@ -106,7 +106,7 @@ class Transformer(nn.Module):
         if self.has_ctc:
             ctc_lg = self.ctc_logits(enc_out)
             safe_targets = jnp.where(targets == IGNORE_ID, 0, targets)
-            if c.use_pallas:
+            if c.ctc_pallas:
                 from tpu_asr.ops.pallas.ctc import ctc_loss_pallas
                 loss_ctc = ctc_loss_pallas(ctc_lg, safe_targets, enc_lengths,
                                            target_lengths, blank=0,

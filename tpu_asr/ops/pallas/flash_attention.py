@@ -49,7 +49,7 @@ def _flash_kernel(q_ref, k_ref, v_ref, kvalid_ref, o_ref,
         s = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32) * scale   # [TQ, TK]
-        kv = kvalid_ref[0]                    # [TK] f32 (1 = valid)
+        kv = kvalid_ref[0, 0]                 # [TK] f32 (1 = valid)
         s = jnp.where(kv[None, :] > 0.5, s, NEG_INF)
         if causal:
             rows = jax.lax.broadcasted_iota(jnp.int32, (tq, tk), 0) + iq * tq
@@ -105,8 +105,8 @@ def _flash_forward(q, k, v, kv_valid, causal, tq_blk, tk_blk, interpret):
             pl.BlockSpec((1, 1, tk_blk, dh),
                          lambda b_, h_, iq, ik: (b_, h_, ik, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, tk_blk),
-                         lambda b_, h_, iq, ik: (b_, ik),
+            pl.BlockSpec((1, 1, tk_blk),
+                         lambda b_, h_, iq, ik: (b_, 0, ik),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec((1, 1, tq_blk, dh),
@@ -156,8 +156,8 @@ def _flash(q, k, v, kv_valid, causal, interpret):
     pad_k = ktp.shape[2] - kv_valid.shape[1]
     if pad_k:
         kvp = jnp.pad(kv_valid, ((0, 0), (0, pad_k)))
-    out = _flash_forward(qt, ktp, vtp, kvp, causal, tq_blk, tk_blk,
-                         interpret)
+    out = _flash_forward(qt, ktp, vtp, kvp[:, None, :], causal, tq_blk,
+                         tk_blk, interpret)
     return jnp.moveaxis(out, 1, 2)[:, : q.shape[1]]
 
 
