@@ -59,8 +59,12 @@ class DataLoader:
         assert u.feat, f"no feat for {u.id}"
         if u.feat.endswith(".npy"):
             return np.load(u.feat)
-        from tpu_asr.data.kaldi_io import read_mat
-        return read_mat(u.feat)
+        # kaldi ark: native C++ parser (python fallback inside)
+        from tpu_asr import native
+        if ":" in u.feat:
+            path, off = u.feat.rsplit(":", 1)
+            return native.read_ark_mat(path, int(off))
+        return native.read_ark_mat(u.feat)
 
     def _make_batch(self, bucket: Bucket, idxs: list[int]) -> dict:
         n = len(idxs)
@@ -71,24 +75,16 @@ class DataLoader:
         for j, u in enumerate(us):
             targets[j, : len(u.tokens)] = u.tokens
             tlens[j] = len(u.tokens)
+        from tpu_asr import native
+        xs = [self._load_input(u) for u in us]
+        lens = np.asarray([x.shape[0] for x in xs], np.int32)
         if self.mode == "wav":
-            wav = np.zeros((n, tmax), np.float32)
-            wlens = np.zeros((n,), np.int32)
-            for j, u in enumerate(us):
-                x = self._load_input(u)
-                wav[j, : len(x)] = x
-                wlens[j] = len(x)
-            return {"wav": wav, "wav_lengths": wlens, "targets": targets,
+            wav = native.pad_batch(xs, tmax)[:, :, 0]
+            return {"wav": wav, "wav_lengths": lens, "targets": targets,
                     "target_lengths": tlens,
                     "ids": [u.id for u in us]}
-        d = self._load_input(us[0]).shape[-1]
-        feats = np.zeros((n, tmax, d), np.float32)
-        flens = np.zeros((n,), np.int32)
-        for j, u in enumerate(us):
-            x = self._load_input(u)
-            feats[j, : x.shape[0]] = x
-            flens[j] = x.shape[0]
-        return {"feats": feats, "feat_lengths": flens, "targets": targets,
+        feats = native.pad_batch(xs, tmax)
+        return {"feats": feats, "feat_lengths": lens, "targets": targets,
                 "target_lengths": tlens, "ids": [u.id for u in us]}
 
     def __len__(self):

@@ -37,12 +37,30 @@ def edit_distance(ref: Sequence, hyp: Sequence) -> dict:
 
 
 def cer(refs: Sequence[Sequence], hyps: Sequence[Sequence]) -> dict:
-    """Corpus-level error rate over parallel ref/hyp token sequences."""
+    """Corpus-level error rate over parallel ref/hyp token sequences.
+
+    Uses the threaded C++ scorer (tpu_asr.native) on integer-id sequences;
+    falls back to the python DP for non-hashable/int tokens.
+    """
     assert len(refs) == len(hyps), (len(refs), len(hyps))
     tot = {"distance": 0, "sub": 0, "ins": 0, "del": 0, "ref_len": 0}
-    for r, h in zip(refs, hyps):
-        d = edit_distance(list(r), list(h))
-        for k in tot:
-            tot[k] += d[k]
+    try:
+        rints = [[int(x) for x in r] for r in refs]
+        hints = [[int(x) for x in h] for h in hyps]
+    except (TypeError, ValueError):
+        rints = None
+    if rints is not None and len(refs) > 0:
+        from tpu_asr import native
+        out = native.batch_edit_distance(rints, hints)
+        tot["distance"] = int(out[:, 0].sum())
+        tot["sub"] = int(out[:, 1].sum())
+        tot["ins"] = int(out[:, 2].sum())
+        tot["del"] = int(out[:, 3].sum())
+        tot["ref_len"] = sum(len(r) for r in rints)
+    else:
+        for r, h in zip(refs, hyps):
+            d = edit_distance(list(r), list(h))
+            for k in tot:
+                tot[k] += d[k]
     tot["cer"] = tot["distance"] / max(tot["ref_len"], 1)
     return tot
