@@ -39,11 +39,15 @@ def parse_args():
     p.add_argument("--num-buckets", type=int, default=4)
     p.add_argument("--step", type=int, default=-1,
                    help="checkpoint step (-1 = best/latest)")
+    p.add_argument("--platform", default="",
+                   help="force jax platform (e.g. cpu) — overrides plugins")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from tpu_asr.configs import TrainConfig
     from tpu_asr.data import DataLoader, load_manifest, make_buckets
     from tpu_asr.decode.beam import BeamConfig

@@ -44,11 +44,15 @@ def parse_args():
                    help="train on N synthetic utterances (demo/smoke)")
     p.add_argument("--seed", type=int, default=0)
     p.add_argument("--print-freq", type=int, default=0)
+    p.add_argument("--platform", default="",
+                   help="force jax platform (e.g. cpu) — overrides plugins")
     return p.parse_args()
 
 
 def main():
     args = parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     from tpu_asr.configs import get_preset
     from tpu_asr.data import DataLoader, load_manifest, make_buckets
     from tpu_asr.models import CifModel, Transformer

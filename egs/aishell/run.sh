@@ -1,0 +1,93 @@
+#!/usr/bin/env bash
+# AISHELL-1 recipe — the tpu-asr equivalent of the reference's staged
+# egs/aishell/run.sh (data prep -> dict -> manifests -> train -> decode ->
+# score), with the offline Kaldi feature stages replaced by the on-device
+# frontend (features are computed inside the jitted train/decode steps).
+#
+# Usage: bash egs/aishell/run.sh --data /path/to/aishell [--stage N]
+# Expects the standard AISHELL-1 layout:
+#   $data/wav/{train,dev,test}/...S0002/BAC009S0002W0122.wav
+#   $data/transcript/aishell_transcript_v0.8.txt
+set -euo pipefail
+
+stage=0
+data=""
+exp=exp/aishell_hybrid
+preset=aishell
+nj_decode_beam=10
+repo_root="$(cd "$(dirname "$0")/../.." && pwd)"
+
+while [[ $# -gt 0 ]]; do
+  case "$1" in
+    --stage) stage="$2"; shift 2 ;;
+    --data) data="$2"; shift 2 ;;
+    --exp) exp="$2"; shift 2 ;;
+    --preset) preset="$2"; shift 2 ;;
+    *) echo "unknown arg $1"; exit 1 ;;
+  esac
+done
+
+[[ -n "$data" ]] || { echo "--data /path/to/aishell required"; exit 1; }
+cd "$repo_root"
+mkdir -p "$exp" data/aishell
+
+if [[ $stage -le 0 ]]; then
+  echo "=== stage 0: build wav.scp/text per split ==="
+  python - "$data" <<'PY'
+import os, sys
+data = sys.argv[1]
+trans = {}
+with open(os.path.join(data, "transcript", "aishell_transcript_v0.8.txt"),
+          encoding="utf-8") as f:
+    for line in f:
+        parts = line.strip().split(maxsplit=1)
+        if len(parts) == 2:
+            trans[parts[0]] = parts[1]
+os.makedirs("data/aishell", exist_ok=True)
+for split in ("train", "dev", "test"):
+    wavs, texts = [], []
+    root = os.path.join(data, "wav", split)
+    for dirpath, _, files in os.walk(root):
+        for fn in sorted(files):
+            if not fn.endswith(".wav"):
+                continue
+            uid = fn[:-4]
+            if uid not in trans:
+                continue
+            wavs.append(f"{uid} {os.path.join(dirpath, fn)}")
+            texts.append(f"{uid} {trans[uid]}")
+    with open(f"data/aishell/{split}.wav.scp", "w") as f:
+        f.write("\n".join(wavs) + "\n")
+    with open(f"data/aishell/{split}.text", "w") as f:
+        f.write("\n".join(texts) + "\n")
+    print(split, len(wavs), "utts")
+PY
+fi
+
+if [[ $stage -le 1 ]]; then
+  echo "=== stage 1: char dict + manifests ==="
+  python bin/prepare_data.py --wav-scp data/aishell/train.wav.scp \
+    --text data/aishell/train.text --dict-out data/aishell/dict.txt \
+    --out data/aishell/train.jsonl
+  for split in dev test; do
+    python bin/prepare_data.py --wav-scp data/aishell/$split.wav.scp \
+      --text data/aishell/$split.text --dict data/aishell/dict.txt \
+      --out data/aishell/$split.jsonl
+  done
+fi
+
+if [[ $stage -le 2 ]]; then
+  echo "=== stage 2: train ($preset preset) ==="
+  python bin/train.py --preset "$preset" \
+    --train-manifest data/aishell/train.jsonl \
+    --cv-manifest data/aishell/dev.jsonl \
+    --dict data/aishell/dict.txt \
+    --save-folder "$exp"
+fi
+
+if [[ $stage -le 3 ]]; then
+  echo "=== stage 3: decode + score (joint CTC/attention) ==="
+  python bin/recognize.py --ckpt "$exp" --manifest data/aishell/test.jsonl \
+    --mode joint --beam "$nj_decode_beam" --output "$exp/test_hyp.jsonl" \
+    | tee "$exp/decode_summary.json"
+fi

@@ -53,7 +53,10 @@ class DataLoader:
             if u.id in self.waves:
                 return self.waves[u.id]
             assert u.wav, f"no wav for {u.id}"
-            return np.load(u.wav)
+            if u.wav.endswith(".npy"):
+                return np.load(u.wav)
+            from tpu_asr.data.audio import read_wav
+            return read_wav(u.wav)
         if u.id in self.feats:
             return self.feats[u.id]
         assert u.feat, f"no feat for {u.id}"
