@@ -33,6 +33,7 @@ def parse_args():
     p.add_argument("--mode", default="",
                    choices=["", "greedy_ctc", "beam", "joint", "cif_greedy"])
     p.add_argument("--beam", type=int, default=5)
+    p.add_argument("--nbest", type=int, default=1)
     p.add_argument("--max-len", type=int, default=100)
     p.add_argument("--ctc-weight", type=float, default=0.3)
     p.add_argument("--batch-frames", type=int, default=16000)
@@ -97,6 +98,7 @@ def main():
 
     rec = Recognizer(cfg=cfg, params=params,
                      beam=BeamConfig(beam=args.beam, max_len=args.max_len,
+                                     nbest=args.nbest,
                                      ctc_weight=args.ctc_weight
                                      if mode == "joint" else 0.0),
                      mode=mode, frontend=frontend)
@@ -107,9 +109,8 @@ def main():
     for batch in DataLoader(utts, buckets,
                             mode="wav" if wav_mode else "feat",
                             shuffle=False):
-        hyps = rec.decode_batch(batch)
-        for uid, hyp in zip(batch["ids"], hyps):
-            results[uid] = hyp
+        for uid, nb in zip(batch["ids"], rec.decode_batch_nbest(batch)):
+            results[uid] = nb
         if wav_mode:
             total_audio_s += float(np.sum(batch["wav_lengths"])) / \
                 frontend.sample_rate
@@ -123,12 +124,16 @@ def main():
     have_refs = any(refs.values())
     out_path = args.output or os.path.join(args.ckpt, "hyp.jsonl")
     with open(out_path, "w") as f:
-        for uid, hyp in results.items():
-            f.write(json.dumps({"id": uid, "hyp_tokens": hyp}) + "\n")
+        for uid, nb in results.items():
+            rec_out = {"id": uid, "hyp_tokens": nb[0]["yseq"]}
+            if len(nb) > 1:
+                rec_out["nbest"] = nb
+            f.write(json.dumps(rec_out) + "\n")
     summary = {"n_utts": len(results), "inverse_rtf": round(inv_rtf, 2),
                "wall_s": round(wall, 2), "mode": mode}
     if have_refs:
-        score = cer([refs[u] for u in results], list(results.values()))
+        score = cer([refs[u] for u in results],
+                    [nb[0]["yseq"] for nb in results.values()])
         summary["cer"] = round(score["cer"], 4)
     print(json.dumps(summary))
 

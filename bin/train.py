@@ -46,6 +46,9 @@ def parse_args():
     p.add_argument("--print-freq", type=int, default=0)
     p.add_argument("--platform", default="",
                    help="force jax platform (e.g. cpu) — overrides plugins")
+    p.add_argument("--profile-dir", default="",
+                   help="write a jax.profiler trace of steps 10-15")
+    p.add_argument("--debug-nans", action="store_true")
     return p.parse_args()
 
 
@@ -53,6 +56,8 @@ def main():
     args = parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.debug_nans:
+        jax.config.update("jax_debug_nans", True)
     from tpu_asr.configs import get_preset
     from tpu_asr.data import DataLoader, load_manifest, make_buckets
     from tpu_asr.models import CifModel, Transformer
@@ -154,7 +159,8 @@ def main():
         frontend=tc.frontend, mesh=mesh, checkpointer=ck,
         metrics_writer=MetricsWriter(
             os.path.join(args.save_folder, "metrics.jsonl")),
-        start_epoch=start_epoch)
+        start_epoch=start_epoch,
+        profile_dir=args.profile_dir or None)
     state = solver.train(state)
     ck.wait()
     print("done", file=sys.stderr)

@@ -72,7 +72,7 @@ class Recognizer:
         out = attention_beam_search(
             dec, dp, enc_out, el, self.cfg.vocab_size - 2,
             self.cfg.vocab_size - 1, self.beam, ctc_logp=ctc_logp)
-        return out["tokens"][:, 0], out["lengths"][:, 0]
+        return out
 
     @partial(jax.jit, static_argnums=0)
     def _cif(self, params, batch):
@@ -83,19 +83,32 @@ class Recognizer:
     # --- public API ---
 
     def decode_batch(self, batch) -> list[list[int]]:
-        """batch: loader dict -> list of token-id hypotheses."""
+        """batch: loader dict -> list of token-id hypotheses (1-best)."""
+        return [h[0]["yseq"] for h in self.decode_batch_nbest(batch)]
+
+    def decode_batch_nbest(self, batch) -> list[list[dict]]:
+        """-> per-utterance n-best [{'yseq': [ids], 'score': float}, ...]."""
         arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
+        eos = self.cfg.vocab_size - 1
+
+        def clean(row, length):
+            return [int(t) for t in row[:length]
+                    if int(t) >= 0 and int(t) != eos]
+
+        if self.mode in ("beam", "joint"):
+            out = self._beam(self.params, arrays)
+            toks = np.asarray(out["tokens"])           # [B, W, L]
+            lens = np.asarray(out["lengths"])
+            scores = np.asarray(out["scores"])
+            nbest = min(self.beam.nbest, toks.shape[1]) or 1
+            return [[{"yseq": clean(toks[i, w], lens[i, w]),
+                      "score": float(scores[i, w])}
+                     for w in range(nbest)]
+                    for i in range(toks.shape[0])]
         if self.mode == "greedy_ctc":
             toks, lens = self._greedy_ctc(self.params, arrays)
-        elif self.mode in ("beam", "joint"):
-            toks, lens = self._beam(self.params, arrays)
         else:
             toks, lens = self._cif(self.params, arrays)
         toks, lens = np.asarray(toks), np.asarray(lens)
-        eos = self.cfg.vocab_size - 1
-        hyps = []
-        for i in range(toks.shape[0]):
-            seq = [int(t) for t in toks[i, : lens[i]]
-                   if int(t) >= 0 and int(t) != eos]
-            hyps.append(seq)
-        return hyps
+        return [[{"yseq": clean(toks[i], lens[i]), "score": 0.0}]
+                for i in range(toks.shape[0])]

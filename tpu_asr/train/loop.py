@@ -133,6 +133,7 @@ class Solver:
     metrics_writer: Any = None   # tpu_asr.train.metrics.MetricsWriter
     early_stop_patience: int = 0  # 0 = off
     start_epoch: int = 0          # set by resume (continue_from)
+    profile_dir: str | None = None  # jax.profiler trace of steps 10..15
 
     def train(self, state: TrainState) -> TrainState:
         train_step = make_train_step(self.model, self.tx, self.specaug,
@@ -144,6 +145,12 @@ class Solver:
             t0 = time.time()
             tr_loss, n_batches = 0.0, 0
             for batch in self.train_loader:
+                if self.profile_dir and epoch == self.start_epoch:
+                    if n_batches == 10:
+                        jax.profiler.start_trace(self.profile_dir)
+                    elif n_batches == 15:
+                        jax.tree.leaves(state.params)[0].block_until_ready()
+                        jax.profiler.stop_trace()
                 state, metrics = train_step(state, strip_host_fields(batch))
                 n_batches += 1
                 if n_batches % self.print_freq == 0:
