@@ -102,11 +102,14 @@ def test_overfit_hybrid_and_beam_decode():
 
 
 def test_overfit_cif_and_decode():
-    cfg = ModelConfig(**SMALL, model_type="cif", ctc_weight=0.0,
+    # CTC auxiliary (as the eastonYi CIF trains) stabilizes the encoder;
+    # without it the tiny-scale overfit collapses to a mode. 1500 steps
+    # reaches 8/8 exact free decode on the 8-device CPU mesh.
+    cfg = ModelConfig(**SMALL, model_type="cif", ctc_weight=0.5,
                       cif_quantity_weight=2.0)
     batch, utts = synth_batch()
     model = CifModel(cfg)
-    state, first, last = overfit(model, batch, steps=600)
+    state, first, last = overfit(model, batch, steps=1500)
     assert last < first * 0.25, (first, last)
     from tpu_asr.decode.cif_decode import cif_greedy_decode
     params = {"params": state.params}

@@ -32,6 +32,13 @@ def cif_greedy_decode(
         params, feats, feat_lengths, method=CifModel.encode)
     n_fire = jnp.minimum(
         fire_count(alphas, valid, cfg.cif_tail_threshold), max_len)
+    # Inference-time self-scaling: renormalize alphas so they sum exactly
+    # to the predicted fire count. Training always fires on scaled alphas
+    # (sum == U+1), so this keeps the fired embeddings' boundary geometry
+    # consistent between train and inference (the raw-alpha residual
+    # otherwise smears every boundary by the accumulated length error).
+    from tpu_asr.ops.cif import scale_alphas
+    alphas = scale_alphas(alphas, valid, n_fire)
     fired = cif_fire(enc_out.astype(jnp.float32), alphas, max_len)  # [B,U,D]
 
     b = feats.shape[0]
