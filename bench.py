@@ -40,6 +40,9 @@ def build():
     import jax.numpy as jnp
     from tpu_asr.models import ModelConfig, Transformer
 
+    # rbg PRNG: threefry dropout costs ~37% of the train step on v5e
+    jax.config.update("jax_default_prng_impl", "rbg")
+
     cfg = ModelConfig(vocab_size=4233, model_type="hybrid", ctc_weight=0.3,
                       dtype=jnp.bfloat16)
     model = Transformer(cfg)

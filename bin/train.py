@@ -49,6 +49,9 @@ def parse_args():
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace of steps 10-15")
     p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("--prng-impl", default="rbg",
+                   help="PRNG for dropout/specaug; rbg is ~1.5x faster "
+                        "train steps on TPU than threefry")
     return p.parse_args()
 
 
@@ -58,6 +61,8 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     if args.debug_nans:
         jax.config.update("jax_debug_nans", True)
+    if args.prng_impl:
+        jax.config.update("jax_default_prng_impl", args.prng_impl)
     from tpu_asr.configs import get_preset
     from tpu_asr.data import DataLoader, load_manifest, make_buckets
     from tpu_asr.models import CifModel, Transformer

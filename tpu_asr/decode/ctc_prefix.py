@@ -74,9 +74,13 @@ class CTCPrefixScorer:
         r_prev, psi_prev = state
         n, k = cands.shape
         t = self.t
-        # x_cand[n, t, k]: log p(c at frame t); x_blank[n, t]
-        x_cand = jnp.take_along_axis(
-            self.logp, cands[:, None, :].repeat(t, axis=1), axis=2)
+        # x_cand[n, t, k]: log p(c at frame t); gathered as a one-hot MXU
+        # einsum — TPU vocab gathers are ~5x slower than the matmul (exact
+        # at HIGHEST precision).
+        onehot = (cands[:, :, None] == jnp.arange(self.v)[None, None, :]
+                  ).astype(self.logp.dtype)
+        x_cand = jnp.einsum("ntv,nkv->ntk", self.logp, onehot,
+                            precision=jax.lax.Precision.HIGHEST)
         x_blank = self.logp[:, :, self.blank]
         # phi over prefix state [N, T, K]
         same = cands == y_last[:, None]                           # [N, K]
