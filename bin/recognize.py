@@ -84,9 +84,12 @@ def main():
     model = model_cls(cfg)
     batch0 = next(iter(loader))
     import jax.numpy as jnp
-    from tpu_asr.train.loop import batch_features, strip_host_fields
+    from tpu_asr.train.loop import (apply_lfr, batch_features,
+                                    strip_host_fields)
     b0 = {k: jnp.asarray(v) for k, v in strip_host_fields(batch0).items()}
     feats, flens = batch_features(b0, frontend)
+    if cfg.input_layer == "linear":
+        feats, flens = apply_lfr(feats, flens, (cfg.lfr_m, cfg.lfr_n))
     variables = model.init(jax.random.PRNGKey(0), feats, flens,
                            b0["targets"], b0["target_lengths"])
     tx = make_optimizer(cfg.d_model)

@@ -133,10 +133,12 @@ def main():
 
     # init from one batch's shapes
     batch0 = next(iter(cv_loader if cv_utts else train_loader))
-    from tpu_asr.train.loop import batch_features, strip_host_fields
+    from tpu_asr.train.loop import apply_lfr, batch_features, strip_host_fields
     import jax.numpy as jnp
     b0 = {k: jnp.asarray(v) for k, v in strip_host_fields(batch0).items()}
     feats, flens = batch_features(b0, tc.frontend)
+    if mc.input_layer == "linear":
+        feats, flens = apply_lfr(feats, flens, (mc.lfr_m, mc.lfr_n))
     variables = model.init(jax.random.PRNGKey(tc.seed), feats, flens,
                            b0["targets"], b0["target_lengths"])
     state = TrainState.create(variables["params"], tx,
@@ -158,10 +160,11 @@ def main():
     n_dev = args.num_devices or len(jax.devices())
     mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
 
+    lfr = ((mc.lfr_m, mc.lfr_n) if mc.input_layer == "linear" else (1, 1))
     solver = Solver(
         model=model, tx=tx, train_loader=train_loader, cv_loader=cv_loader,
         epochs=tc.epochs, print_freq=tc.print_freq, specaug=tc.specaug,
-        frontend=tc.frontend, mesh=mesh, checkpointer=ck,
+        frontend=tc.frontend, lfr=lfr, mesh=mesh, checkpointer=ck,
         metrics_writer=MetricsWriter(
             os.path.join(args.save_folder, "metrics.jsonl")),
         start_epoch=start_epoch,

@@ -58,6 +58,13 @@ PRESETS: dict[str, TrainConfig] = {
         model=dataclasses.replace(_BASE, model_type="transformer"),
         decode_mode="beam",
         beam=BeamConfig(beam=5, max_len=100)),
+    # 2b: same, with the reference's default LFR(4,3)+linear front-end
+    # (kaituoxu lineage) instead of conv2d subsampling
+    "attention_lfr": TrainConfig(
+        model=dataclasses.replace(_BASE, model_type="transformer",
+                                  input_layer="linear", lfr_m=4, lfr_n=3),
+        decode_mode="beam",
+        beam=BeamConfig(beam=5, max_len=100)),
     # 3: hybrid CTC/attention (config #3)
     "hybrid": TrainConfig(
         model=dataclasses.replace(_BASE, model_type="hybrid",

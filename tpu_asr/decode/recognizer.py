@@ -44,9 +44,16 @@ class Recognizer:
 
     def _features(self, batch):
         if "wav" in batch:
-            return wav_to_features(batch["wav"], batch["wav_lengths"],
-                                   self.frontend)
-        return batch["feats"], batch["feat_lengths"]
+            feats, lens = wav_to_features(batch["wav"],
+                                          batch["wav_lengths"],
+                                          self.frontend)
+        else:
+            feats, lens = batch["feats"], batch["feat_lengths"]
+        if self.cfg.input_layer == "linear" and self.cfg.lfr_m > 1:
+            from tpu_asr.frontend import build_lfr_features, lfr_length
+            feats = build_lfr_features(feats, self.cfg.lfr_m, self.cfg.lfr_n)
+            lens = lfr_length(lens, self.cfg.lfr_n)
+        return feats, lens
 
     @partial(jax.jit, static_argnums=0)
     def _greedy_ctc(self, params, batch):

@@ -24,7 +24,8 @@ import optax
 from flax import struct
 
 from tpu_asr.augment import SpecAugmentConfig, spec_augment
-from tpu_asr.frontend import FrontendConfig, wav_to_features
+from tpu_asr.frontend import (FrontendConfig, build_lfr_features, lfr_length,
+                              wav_to_features)
 
 
 def batch_features(batch, frontend: FrontendConfig | None):
@@ -34,6 +35,14 @@ def batch_features(batch, frontend: FrontendConfig | None):
         cfg = frontend or FrontendConfig()
         return wav_to_features(batch["wav"], batch["wav_lengths"], cfg)
     return batch["feats"], batch["feat_lengths"]
+
+
+def apply_lfr(feats, feat_lengths, lfr: tuple[int, int]):
+    """LFR stacking (reference build_LFR_features) for linear-input models."""
+    m, n = lfr
+    if (m, n) == (1, 1):
+        return feats, feat_lengths
+    return build_lfr_features(feats, m, n), lfr_length(feat_lengths, n)
 
 
 def strip_host_fields(batch):
@@ -57,6 +66,7 @@ def make_train_step(
     tx: optax.GradientTransformation,
     specaug: SpecAugmentConfig | None = None,
     frontend: FrontendConfig | None = None,
+    lfr: tuple[int, int] = (1, 1),
     donate: bool = True,
     mesh: jax.sharding.Mesh | None = None,
 ):
@@ -73,6 +83,7 @@ def make_train_step(
         feats, feat_lengths = batch_features(batch, frontend)
         if specaug is not None:
             feats = spec_augment(rng_aug, feats, feat_lengths, specaug)
+        feats, feat_lengths = apply_lfr(feats, feat_lengths, lfr)
 
         def loss_fn(params):
             out = model.apply(
@@ -101,9 +112,11 @@ def make_train_step(
 
 
 def make_eval_step(model, frontend: FrontendConfig | None = None,
+                   lfr: tuple[int, int] = (1, 1),
                    mesh: jax.sharding.Mesh | None = None):
     def step_fn(params, batch):
         feats, feat_lengths = batch_features(batch, frontend)
+        feats, feat_lengths = apply_lfr(feats, feat_lengths, lfr)
         out = model.apply(
             {"params": params}, feats, feat_lengths,
             batch["targets"], batch["target_lengths"], deterministic=True)
@@ -128,6 +141,7 @@ class Solver:
     print_freq: int = 10
     specaug: SpecAugmentConfig | None = None
     frontend: FrontendConfig | None = None
+    lfr: tuple = (1, 1)
     mesh: Any = None
     checkpointer: Any = None     # tpu_asr.train.checkpoints.Checkpointer
     metrics_writer: Any = None   # tpu_asr.train.metrics.MetricsWriter
@@ -137,8 +151,10 @@ class Solver:
 
     def train(self, state: TrainState) -> TrainState:
         train_step = make_train_step(self.model, self.tx, self.specaug,
-                                     self.frontend, mesh=self.mesh)
-        eval_step = make_eval_step(self.model, self.frontend, mesh=self.mesh)
+                                     self.frontend, lfr=tuple(self.lfr),
+                                     mesh=self.mesh)
+        eval_step = make_eval_step(self.model, self.frontend,
+                                   lfr=tuple(self.lfr), mesh=self.mesh)
         best_cv = float("inf")
         bad_epochs = 0
         for epoch in range(self.start_epoch, self.epochs):
