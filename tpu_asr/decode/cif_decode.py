@@ -18,6 +18,90 @@ from tpu_asr.ops.cif import cif_fire, fire_count
 from tpu_asr.utils.padding import make_valid_mask
 
 
+def _encode_and_fire(model, params, feats, feat_lengths, max_len):
+    cfg = model.cfg
+    enc_out, enc_lengths, alphas, valid = model.apply(
+        params, feats, feat_lengths, method=CifModel.encode)
+    n_fire = jnp.minimum(
+        fire_count(alphas, valid, cfg.cif_tail_threshold), max_len)
+    from tpu_asr.ops.cif import scale_alphas
+    alphas = scale_alphas(alphas, valid, n_fire)
+    fired = cif_fire(enc_out.astype(jnp.float32), alphas, max_len)
+    return fired, n_fire
+
+
+def cif_beam_decode(
+    model: CifModel,
+    params,
+    feats: jnp.ndarray,
+    feat_lengths: jnp.ndarray,
+    beam: int = 5,
+    max_len: int = 64,
+    pad_id: int = -1,
+):
+    """Beam search over the CIF decoder.
+
+    CIF emits exactly n_fire tokens per utterance, so the search is over
+    token choices at fixed length: beams score sum-logprob over positions
+    < n_fire (later positions are cost-free), top-W kept per step.
+    Returns (tokens [B, max_len] pad_id-padded, lengths [B]) best-first.
+    """
+    cfg = model.cfg
+    b = feats.shape[0]
+    w = beam
+    n = b * w
+    fired, n_fire = _encode_and_fire(model, params, feats, feat_lengths,
+                                     max_len)
+    fired_flat = jnp.repeat(fired, w, axis=0)          # [B*W, U, D]
+    n_fire_flat = jnp.repeat(n_fire, w, axis=0)
+    dec_params = {"params": params["params"]["decoder"]}
+    dec = CifDecoder(cfg)
+    cache = dec.apply(dec_params, n, max_len, method=CifDecoder.init_cache)
+    sos = cfg.vocab_size - 2
+    eos = cfg.vocab_size - 1
+    neg_inf = -1e30
+
+    def gather_beams(tree, beam_idx):
+        def g(x):
+            xr = x.reshape(b, w, *x.shape[1:])
+            idx = beam_idx.reshape(b, w, *([1] * (x.ndim - 1)))
+            return jnp.take_along_axis(xr, idx, axis=1).reshape(x.shape)
+        return jax.tree.map(g, tree)
+
+    def step(carry, pos):
+        y_prev, cache, scores, tokens = carry
+        logits, cache = dec.apply(dec_params, y_prev, fired_flat[:, pos],
+                                  pos, cache, method=CifDecoder.step)
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        done = (pos >= n_fire_flat)[:, None]           # [N, 1]
+        v = logp.shape[-1]
+        eos_forced = jnp.where(jnp.arange(v)[None, :] == eos, 0.0, neg_inf)
+        logp = jnp.where(done, eos_forced, logp)
+        cand = (scores.reshape(n)[:, None] + logp).reshape(b, w * v)
+        top_scores, top_idx = jax.lax.top_k(cand, w)
+        beam_idx = top_idx // v
+        tok = (top_idx % v).astype(jnp.int32)
+        cache = gather_beams(cache, beam_idx)
+        tokens = gather_beams(tokens.reshape(n, -1), beam_idx).reshape(
+            b, w, -1)
+        tokens = tokens.at[:, :, pos].set(tok)
+        return (tok.reshape(n), cache, top_scores, tokens), None
+
+    scores0 = jnp.tile(
+        jnp.where(jnp.arange(w)[None, :] == 0, 0.0, neg_inf), (b, 1))
+    carry0 = (jnp.full((n,), sos, jnp.int32), cache, scores0,
+              jnp.full((b, w, max_len), eos, jnp.int32))
+    (_, _, scores, tokens), _ = jax.lax.scan(
+        step, carry0, jnp.arange(max_len))
+    best = jnp.argmax(scores, axis=1)
+    toks = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
+    valid_pos = make_valid_mask(n_fire, max_len)
+    after_eos = jnp.cumsum((toks == eos).astype(jnp.int32), axis=1) > 0
+    keep = valid_pos & ~after_eos
+    out = jnp.where(keep, toks, pad_id)
+    return out, jnp.sum(keep, axis=1)
+
+
 def cif_greedy_decode(
     model: CifModel,
     params,
@@ -28,19 +112,12 @@ def cif_greedy_decode(
 ):
     """Returns (tokens [B, max_len] pad_id-padded, lengths [B])."""
     cfg = model.cfg
-    enc_out, enc_lengths, alphas, valid = model.apply(
-        params, feats, feat_lengths, method=CifModel.encode)
-    n_fire = jnp.minimum(
-        fire_count(alphas, valid, cfg.cif_tail_threshold), max_len)
-    # Inference-time self-scaling: renormalize alphas so they sum exactly
-    # to the predicted fire count. Training always fires on scaled alphas
-    # (sum == U+1), so this keeps the fired embeddings' boundary geometry
-    # consistent between train and inference (the raw-alpha residual
-    # otherwise smears every boundary by the accumulated length error).
-    from tpu_asr.ops.cif import scale_alphas
-    alphas = scale_alphas(alphas, valid, n_fire)
-    fired = cif_fire(enc_out.astype(jnp.float32), alphas, max_len)  # [B,U,D]
-
+    # _encode_and_fire renormalizes alphas to the predicted fire count:
+    # training always fires on scaled alphas (sum == U+1), so self-scaling
+    # keeps the fired embeddings' boundary geometry consistent between
+    # train and inference.
+    fired, n_fire = _encode_and_fire(model, params, feats, feat_lengths,
+                                     max_len)
     b = feats.shape[0]
     dec_params = {"params": params["params"]["decoder"]}
     dec = CifDecoder(cfg)

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpu_asr.decode.beam import BeamConfig, attention_beam_search
-from tpu_asr.decode.cif_decode import cif_greedy_decode
+from tpu_asr.decode.cif_decode import cif_beam_decode, cif_greedy_decode
 from tpu_asr.decode.greedy_ctc import ctc_greedy_decode
 from tpu_asr.frontend import FrontendConfig, wav_to_features
 from tpu_asr.models import CifModel, ModelConfig, Transformer
@@ -33,8 +33,9 @@ class Recognizer:
     frontend: FrontendConfig = FrontendConfig()
 
     def __post_init__(self):
-        assert self.mode in ("greedy_ctc", "beam", "joint", "cif_greedy")
-        if self.mode == "cif_greedy":
+        assert self.mode in ("greedy_ctc", "beam", "joint",
+                             "cif_greedy", "cif_beam")
+        if self.mode in ("cif_greedy", "cif_beam"):
             self.model = CifModel(self.cfg)
         else:
             self.model = Transformer(self.cfg)
@@ -84,6 +85,10 @@ class Recognizer:
     @partial(jax.jit, static_argnums=0)
     def _cif(self, params, batch):
         feats, flens = self._features(batch)
+        if self.mode == "cif_beam":
+            return cif_beam_decode(self.model, params, feats, flens,
+                                   beam=self.beam.beam,
+                                   max_len=self.beam.max_len)
         return cif_greedy_decode(self.model, params, feats, flens,
                                  max_len=self.beam.max_len)
 
