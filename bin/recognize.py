@@ -50,7 +50,6 @@ def main():
     args = parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
-    from tpu_asr.configs import TrainConfig
     from tpu_asr.data import DataLoader, load_manifest, make_buckets
     from tpu_asr.decode.beam import BeamConfig
     from tpu_asr.decode.recognizer import Recognizer

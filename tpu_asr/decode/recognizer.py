@@ -2,9 +2,9 @@
 
 Replaces the reference's src/bin/recognize.py inner loop (per-utterance,
 host-driven). Batches stream through jit-compiled decode functions (one
-executable per bucket shape); all four decode modes of the reference family
-are covered: greedy CTC, attention beam, joint CTC/attention rescoring, and
-CIF greedy.
+executable per bucket shape); all reference-family decode modes are
+covered: greedy CTC, attention beam, joint CTC/attention rescoring, and
+CIF greedy/beam.
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ class Recognizer:
     cfg: ModelConfig
     params: dict
     beam: BeamConfig = BeamConfig()
-    mode: str = "beam"            # greedy_ctc | beam | joint | cif_greedy
+    mode: str = "beam"  # greedy_ctc | beam | joint | cif_greedy | cif_beam
     frontend: FrontendConfig = FrontendConfig()
 
     def __post_init__(self):
@@ -39,7 +39,6 @@ class Recognizer:
             self.model = CifModel(self.cfg)
         else:
             self.model = Transformer(self.cfg)
-        self._jitted = {}
 
     # --- jitted per-shape programs ---
 

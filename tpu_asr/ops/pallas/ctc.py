@@ -293,8 +293,7 @@ def ctc_loss_pallas(
 
     emissions_p = pad(emissions, NEG_INF)
     skip_f = pad(allow_skip.astype(jnp.float32), 0.0)
-    valid_f = pad(valid_s.astype(jnp.float32) *
-                  jnp.ones((b, s), jnp.float32), 0.0)
+    valid_f = pad(valid_s.astype(jnp.float32) + jnp.zeros((b, s)), 0.0)
     ilens_p = pad(logit_lengths.astype(jnp.int32)[:, None], 1)
     llens_p = pad(label_lengths.astype(jnp.int32)[:, None], 0)
 
