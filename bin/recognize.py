@@ -43,6 +43,9 @@ def parse_args():
                    help="checkpoint step (-1 = best/latest)")
     p.add_argument("--platform", default="",
                    help="force jax platform (e.g. cpu) — overrides plugins")
+    p.add_argument("--prng-impl", default="rbg",
+                   help="must match training (the checkpointed TrainState "
+                        "rng key shape depends on it; train default: rbg)")
     return p.parse_args()
 
 
@@ -50,6 +53,8 @@ def main():
     args = parse_args()
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    if args.prng_impl:
+        jax.config.update("jax_default_prng_impl", args.prng_impl)
     from tpu_asr.data import DataLoader, load_manifest, make_buckets
     from tpu_asr.decode.beam import BeamConfig
     from tpu_asr.decode.recognizer import Recognizer

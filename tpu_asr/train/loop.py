@@ -147,8 +147,11 @@ class Solver:
     early_stop_patience: int = 0  # 0 = off
     start_epoch: int = 0          # set by resume (continue_from)
     profile_dir: str | None = None  # jax.profiler trace of steps 10..15
+    half_lr: bool = False         # reference half_lr: halve lr on cv plateau
+    tx_factory: Any = None        # lr_scale -> optax tx (required w/ half_lr)
 
     def train(self, state: TrainState) -> TrainState:
+        lr_scale = 1.0
         train_step = make_train_step(self.model, self.tx, self.specaug,
                                      self.frontend, lfr=tuple(self.lfr),
                                      mesh=self.mesh)
@@ -194,6 +197,19 @@ class Solver:
             if self.checkpointer:
                 self.checkpointer.save(state, epoch=epoch, cv_loss=cv_loss,
                                        is_best=is_best)
+            if not is_best and self.half_lr and self.tx_factory is not None:
+                # reference Solver behavior [med]: halve the lr scale when
+                # cv loss stops improving. Adam moments carry over (the
+                # opt-state tree is lr-independent); the step recompiles.
+                lr_scale *= 0.5
+                new_tx = self.tx_factory(lr_scale)
+                train_step = make_train_step(
+                    self.model, new_tx, self.specaug, self.frontend,
+                    lfr=tuple(self.lfr), mesh=self.mesh)
+                if self.metrics_writer:
+                    self.metrics_writer.write(
+                        dict(epoch=epoch, event="half_lr",
+                             lr_scale=lr_scale))
             if self.early_stop_patience:
                 bad_epochs = 0 if is_best else bad_epochs + 1
                 if bad_epochs >= self.early_stop_patience:
