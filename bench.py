@@ -56,19 +56,20 @@ def build():
     return cfg, model, params, (feats, flens, targets, tlens)
 
 
-def bench_decode_tpu(cfg, params, feats, flens):
+def bench_decode_tpu(cfg, params, feats, flens, mode="joint", beam=BEAM):
     import jax
     from tpu_asr.decode.beam import BeamConfig
     from tpu_asr.decode.recognizer import Recognizer
 
     rec = Recognizer(cfg=cfg, params=params,
-                     beam=BeamConfig(beam=BEAM, max_len=MAX_LEN,
-                                     ctc_weight=0.3),
-                     mode="joint")
+                     beam=BeamConfig(beam=beam, max_len=MAX_LEN,
+                                     ctc_weight=0.3 if mode == "joint"
+                                     else 0.0),
+                     mode=mode)
     batch = {"feats": feats, "feat_lengths": flens}
     t0 = time.time()
     rec.decode_batch(batch)
-    log(f"decode compile+first batch: {time.time()-t0:.1f}s")
+    log(f"{mode} compile+first batch: {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(N_BATCHES):
         rec.decode_batch(batch)
@@ -129,6 +130,9 @@ def main():
 
     inv_rtf = bench_decode_tpu(cfg, params, feats, flens)
     log(f"tpu joint-beam decode inverse-RTF: {inv_rtf:.1f}")
+    greedy_rtf = bench_decode_tpu(cfg, params, feats, flens,
+                                  mode="greedy_ctc")
+    log(f"tpu greedy-CTC decode inverse-RTF: {greedy_rtf:.1f}")
 
     try:
         torch_inv_rtf = bench_torch_baseline(cfg, params)
@@ -151,6 +155,7 @@ def main():
         "extras": {
             "train_steps_per_sec": round(steps_per_sec, 3),
             "train_batch": {"b": BATCH, "frames": T_FRAMES},
+            "greedy_ctc_inverse_rtf": round(greedy_rtf, 2),
             "torch_cpu_inverse_rtf": (round(torch_inv_rtf, 2)
                                       if vs else None),
             "beam": BEAM, "max_len": MAX_LEN,
