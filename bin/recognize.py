@@ -112,11 +112,16 @@ def main():
                      mode=mode, frontend=frontend)
 
     results = {}
-    total_audio_s, t_start = 0.0, time.time()
+    total_audio_s = 0.0
+    t_start = None
     loader.epoch = 0
     for batch in DataLoader(utts, buckets,
                             mode="wav" if wav_mode else "feat",
                             shuffle=False):
+        if t_start is None:
+            # warm-up decode so compile time stays out of the RTF number
+            rec.decode_batch_nbest(batch)
+            t_start = time.time()
         for uid, nb in zip(batch["ids"], rec.decode_batch_nbest(batch)):
             results[uid] = nb
         if wav_mode:
