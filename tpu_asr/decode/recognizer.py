@@ -35,7 +35,15 @@ class Recognizer:
     def __post_init__(self):
         assert self.mode in ("greedy_ctc", "beam", "joint",
                              "cif_greedy", "cif_beam")
+        mt = self.cfg.model_type
+        if self.mode in ("greedy_ctc", "joint"):
+            assert mt in ("ctc", "hybrid"), \
+                f"mode {self.mode} needs a CTC head (model_type={mt})"
+        if self.mode in ("beam", "joint"):
+            assert mt in ("transformer", "hybrid"), \
+                f"mode {self.mode} needs an attention decoder (model_type={mt})"
         if self.mode in ("cif_greedy", "cif_beam"):
+            assert mt == "cif", f"mode {self.mode} needs model_type=cif"
             self.model = CifModel(self.cfg)
         else:
             self.model = Transformer(self.cfg)

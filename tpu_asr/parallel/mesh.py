@@ -17,6 +17,21 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def initialize_distributed() -> None:
+    """Multi-host bring-up: call once per process before make_mesh.
+
+    Wraps jax.distributed.initialize (coordinator/process env vars per the
+    standard JAX multi-host convention). Safe no-op on a single host with
+    no COORDINATOR_ADDRESS set.
+    """
+    import os
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        jax.distributed.initialize(
+            coordinator_address=os.environ["COORDINATOR_ADDRESS"],
+            num_processes=int(os.environ.get("NUM_PROCESSES", "1")),
+            process_id=int(os.environ.get("PROCESS_ID", "0")))
+
+
 def make_mesh(n_data: int | None = None, n_model: int = 1,
               devices=None) -> Mesh:
     devices = devices if devices is not None else jax.devices()
