@@ -106,6 +106,10 @@ def attention_beam_search(
             cand_logp = jnp.concatenate(
                 [cand_logp, att_logp[:, eos_id][:, None]], axis=1)
             is_first = jnp.full((n,), False) | (pos == 0)
+            # One scan scores all K candidates AND materializes their r
+            # histories; selecting afterwards beats a second advance-scan
+            # for the chosen tokens (sequential latency dominates traffic
+            # at these sizes — measured 807x vs 702x inverse-RTF).
             psi, new_r = scorer.score(cand_ids, y_prev, is_first, ctc_state)
             _, psi_prev = ctc_state
             step_score = ((1.0 - lam) * cand_logp

@@ -60,16 +60,19 @@ class CTCPrefixScorer:
         return r, psi_prev
 
     def score(self, cands: jnp.ndarray, y_last: jnp.ndarray,
-              is_first: jnp.ndarray, state):
+              is_first: jnp.ndarray, state, return_r: bool = True):
         """Score K candidate extensions per beam.
 
         cands: [N, K] candidate token ids; y_last: [N] last token of each
         prefix; is_first: [N] bool, True when the prefix is empty (g = sos
         only). state: (r [N, T, 2], psi_prev [N]).
 
-        Returns (psi [N, K] prefix log-probs, new_r [N, K, T, 2]). The
-        incremental joint-decode score is psi - psi_prev[:, None]. eos
-        candidates get the complete-sequence probability of g itself.
+        Returns (psi [N, K] prefix log-probs, new_r [N, K, T, 2] or None
+        when return_r=False — the history materialization is the expensive
+        part; the beam loop scores with return_r=False and then `advance`s
+        only the selected candidates). The incremental joint-decode score
+        is psi - psi_prev[:, None]. eos candidates get the
+        complete-sequence probability of g itself.
         """
         r_prev, psi_prev = state
         n, k = cands.shape
@@ -106,19 +109,23 @@ class CTCPrefixScorer:
             out = (jnp.where(keep, new_nb, r_nb),
                    jnp.where(keep, new_b, r_b),
                    jnp.where(keep, new_psi, psi))
-            return out, (out[0], out[1])
+            ys = (out[0], out[1]) if return_r else None
+            return out, ys
 
         xs = (jnp.moveaxis(x_cand[:, 1:], 1, 0),     # [T-1, N, K]
               jnp.moveaxis(x_blank[:, 1:], 1, 0),    # [T-1, N]
               jnp.moveaxis(phi[:, :-1], 1, 0),       # [T-1, N, K]
               jnp.moveaxis(active[:, 1:], 1, 0))     # [T-1, N]
-        (r_nb_T, r_b_T, psi), (nb_hist, b_hist) = jax.lax.scan(
+        (r_nb_T, r_b_T, psi), hist = jax.lax.scan(
             step, (r_nb0, r_b0, psi0), xs)
-        # Assemble full r history [N, K, T, 2]
-        nb_full = jnp.concatenate([r_nb0[None], nb_hist], axis=0)  # [T, N, K]
-        b_full = jnp.concatenate([r_b0[None], b_hist], axis=0)
-        new_r = jnp.stack([jnp.moveaxis(nb_full, 0, 2),
-                           jnp.moveaxis(b_full, 0, 2)], axis=-1)
+        new_r = None
+        if return_r:
+            nb_hist, b_hist = hist
+            # Assemble full r history [N, K, T, 2]
+            nb_full = jnp.concatenate([r_nb0[None], nb_hist], axis=0)
+            b_full = jnp.concatenate([r_b0[None], b_hist], axis=0)
+            new_r = jnp.stack([jnp.moveaxis(nb_full, 0, 2),
+                               jnp.moveaxis(b_full, 0, 2)], axis=-1)
         if self.eos is not None:
             # eos: score is P(g complete) at the last active frame.
             last = jnp.maximum(self.lengths - 1, 0)
@@ -128,3 +135,15 @@ class CTCPrefixScorer:
             # empty prefix "complete" = all-blank path = r_b at last frame
             psi = jnp.where(cands == self.eos, g_complete[:, None], psi)
         return psi, new_r
+
+    def advance(self, token: jnp.ndarray, y_last: jnp.ndarray,
+                is_first: jnp.ndarray, state):
+        """Advance each beam's prefix state by ONE chosen token.
+
+        token/y_last/is_first: [N]; state as in score(). Returns
+        (new_r [N, T, 2], psi [N]) — a single-candidate score() with
+        history, for the tokens the beam search actually selected.
+        """
+        psi, new_r = self.score(token[:, None], y_last, is_first, state,
+                                return_r=True)
+        return new_r[:, 0], psi[:, 0]
