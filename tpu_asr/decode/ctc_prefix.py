@@ -35,12 +35,16 @@ class CTCPrefixScorer:
     """
 
     def __init__(self, ctc_logp: jnp.ndarray, enc_lengths: jnp.ndarray,
-                 blank: int = 0, eos: int | None = None):
+                 blank: int = 0, eos: int | None = None,
+                 use_pallas: bool | None = None):
         """ctc_logp: [N, T, V] log-softmaxed CTC posteriors."""
         self.logp = ctc_logp.astype(jnp.float32)
         self.lengths = enc_lengths
         self.blank = blank
         self.eos = eos
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu"
+        self.use_pallas = use_pallas
         n, t, v = ctc_logp.shape
         self.n, self.t, self.v = n, t, v
 
@@ -112,20 +116,29 @@ class CTCPrefixScorer:
             ys = (out[0], out[1]) if return_r else None
             return out, ys
 
-        xs = (jnp.moveaxis(x_cand[:, 1:], 1, 0),     # [T-1, N, K]
-              jnp.moveaxis(x_blank[:, 1:], 1, 0),    # [T-1, N]
-              jnp.moveaxis(phi[:, :-1], 1, 0),       # [T-1, N, K]
-              jnp.moveaxis(active[:, 1:], 1, 0))     # [T-1, N]
-        (r_nb_T, r_b_T, psi), hist = jax.lax.scan(
-            step, (r_nb0, r_b0, psi0), xs)
-        new_r = None
-        if return_r:
-            nb_hist, b_hist = hist
-            # Assemble full r history [N, K, T, 2]
-            nb_full = jnp.concatenate([r_nb0[None], nb_hist], axis=0)
-            b_full = jnp.concatenate([r_b0[None], b_hist], axis=0)
-            new_r = jnp.stack([jnp.moveaxis(nb_full, 0, 2),
-                               jnp.moveaxis(b_full, 0, 2)], axis=-1)
+        if self.use_pallas:
+            # VMEM-resident recursion (one kernel instead of a 250-step
+            # while loop); always materializes histories.
+            from tpu_asr.ops.pallas.ctc_prefix import ctc_prefix_scan_pallas
+            psi, nb_full, b_full = ctc_prefix_scan_pallas(
+                x_cand, phi, x_blank, r_nb0, r_b0, psi0, self.lengths)
+            new_r = jnp.stack([jnp.moveaxis(nb_full, 1, 2),
+                               jnp.moveaxis(b_full, 1, 2)], axis=-1)
+        else:
+            xs = (jnp.moveaxis(x_cand[:, 1:], 1, 0),     # [T-1, N, K]
+                  jnp.moveaxis(x_blank[:, 1:], 1, 0),    # [T-1, N]
+                  jnp.moveaxis(phi[:, :-1], 1, 0),       # [T-1, N, K]
+                  jnp.moveaxis(active[:, 1:], 1, 0))     # [T-1, N]
+            (r_nb_T, r_b_T, psi), hist = jax.lax.scan(
+                step, (r_nb0, r_b0, psi0), xs)
+            new_r = None
+            if return_r:
+                nb_hist, b_hist = hist
+                # Assemble full r history [N, K, T, 2]
+                nb_full = jnp.concatenate([r_nb0[None], nb_hist], axis=0)
+                b_full = jnp.concatenate([r_b0[None], b_hist], axis=0)
+                new_r = jnp.stack([jnp.moveaxis(nb_full, 0, 2),
+                                   jnp.moveaxis(b_full, 0, 2)], axis=-1)
         if self.eos is not None:
             # eos: score is P(g complete) at the last active frame.
             last = jnp.maximum(self.lengths - 1, 0)
