@@ -36,6 +36,12 @@ def parse_args():
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--nbest", type=int, default=1)
     p.add_argument("--max-len", type=int, default=100)
+    p.add_argument("--maxlenratio", type=float, default=0.0,
+                   help="per-utterance max decode length = ratio * encoder "
+                        "length (reference recognize_beam semantics); 0 = "
+                        "static --max-len only")
+    p.add_argument("--minlenratio", type=float, default=0.0,
+                   help="ban eos before ratio * encoder length tokens")
     p.add_argument("--ctc-weight", type=float, default=0.3)
     p.add_argument("--batch-frames", type=int, default=16000)
     p.add_argument("--num-buckets", type=int, default=4)
@@ -107,21 +113,29 @@ def main():
     rec = Recognizer(cfg=cfg, params=params,
                      beam=BeamConfig(beam=args.beam, max_len=args.max_len,
                                      nbest=args.nbest,
+                                     maxlenratio=args.maxlenratio,
+                                     minlenratio=args.minlenratio,
                                      ctc_weight=args.ctc_weight
                                      if mode == "joint" else 0.0),
                      mode=mode, frontend=frontend)
 
+    # warm up EVERY bucket shape so no compile lands in the timed loop
+    warmed = set()
+    for batch in DataLoader(utts, buckets,
+                            mode="wav" if wav_mode else "feat",
+                            shuffle=False):
+        key = (batch["wav"] if wav_mode else batch["feats"]).shape
+        if key not in warmed:
+            rec.decode_batch_nbest(batch)
+            warmed.add(key)
+
     results = {}
     total_audio_s = 0.0
-    t_start = None
+    t_start = time.time()
     loader.epoch = 0
     for batch in DataLoader(utts, buckets,
                             mode="wav" if wav_mode else "feat",
                             shuffle=False):
-        if t_start is None:
-            # warm-up decode so compile time stays out of the RTF number
-            rec.decode_batch_nbest(batch)
-            t_start = time.time()
         for uid, nb in zip(batch["ids"], rec.decode_batch_nbest(batch)):
             results[uid] = nb
         if wav_mode:

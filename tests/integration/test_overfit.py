@@ -15,6 +15,8 @@ from tpu_asr.frontend import FrontendConfig, wav_to_features
 from tpu_asr.models import CifModel, ModelConfig, Transformer
 from tpu_asr.train import TrainState, make_optimizer, make_train_step
 
+pytestmark = pytest.mark.slow
+
 VOCAB = 16
 FCFG = FrontendConfig()
 SMALL = dict(vocab_size=VOCAB, d_input=80, d_model=64, d_inner=128,

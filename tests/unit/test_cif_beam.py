@@ -1,11 +1,14 @@
 """CIF beam search: beam=1 must reproduce greedy; wider beams score >=."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from tpu_asr.decode.cif_decode import cif_beam_decode, cif_greedy_decode
 from tpu_asr.models import CifModel, ModelConfig
+
+pytestmark = pytest.mark.slow
 
 
 def _setup(rng):

@@ -8,6 +8,8 @@ import pytest
 from tpu_asr.ops.cif import cif_fire
 from tpu_asr.ops.pallas.cif import cif_fire_pallas
 
+pytestmark = pytest.mark.slow
+
 
 @pytest.mark.parametrize("t,u,d", [(40, 12, 16), (130, 20, 32)])
 def test_cif_pallas_matches_reference(rng, t, u, d):

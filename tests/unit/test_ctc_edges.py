@@ -58,6 +58,7 @@ def test_single_frame(rng):
                                rtol=1e-5)
 
 
+@pytest.mark.slow
 @pytest.mark.parametrize("seed", range(4))
 def test_fuzz_scan_vs_pallas_vs_torch(seed):
     rng = np.random.default_rng(100 + seed)

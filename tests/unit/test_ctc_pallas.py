@@ -10,6 +10,8 @@ import pytest
 from tpu_asr.ops.ctc import ctc_loss
 from tpu_asr.ops.pallas.ctc import ctc_loss_pallas
 
+pytestmark = pytest.mark.slow
+
 
 def make_case(seed, b=5, t=20, u=6, v=12):
     rng = np.random.default_rng(seed)

@@ -1,10 +1,13 @@
 """Pallas prefix-scorer kernel (interpret mode) vs the lax.scan path."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
 from tpu_asr.decode.ctc_prefix import CTCPrefixScorer
+
+pytestmark = pytest.mark.slow
 
 
 def test_pallas_scorer_matches_scan(rng):

@@ -129,6 +129,7 @@ def _greedy_rollout(dec, dp, enc_out, el, max_len):
     return np.stack(toks, 1), np.stack(logps, 1)
 
 
+@pytest.mark.slow
 def test_beam1_equals_greedy(rng):
     model, params, enc_out, el = _setup_model(rng)
     dec = Decoder(CFG)
@@ -202,6 +203,36 @@ def test_joint_ctc_beam_runs(rng):
     assert np.isfinite(np.asarray(out["scores"])).all()
     s = np.asarray(out["scores"])
     assert (np.diff(s, axis=1) <= 1e-6).all()
+
+
+@pytest.mark.parametrize("ctc_weight", [0.0, 0.3])
+def test_maxlen_minlen_ratio_per_utterance_stop(rng, ctc_weight):
+    """maxlenratio/minlenratio (reference recognize_beam semantics): with
+    minlenratio == maxlenratio, eos is banned before and forced at
+    floor(ratio * enc_len), so each utterance stops at ITS OWN length —
+    different encoder lengths give different stop positions."""
+    model, params, enc_out, el = _setup_model(rng)
+    dec = Decoder(CFG)
+    dp = {"params": params["params"]["decoder"]}
+    ctc_logp = None
+    if ctc_weight > 0:
+        lg = model.apply(params, enc_out, method=Transformer.ctc_logits)
+        ctc_logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
+    ratio = 0.6
+    out = attention_beam_search(
+        dec, dp, enc_out, el, SOS, EOS,
+        BeamConfig(beam=2, max_len=8, ctc_weight=ctc_weight,
+                   maxlenratio=ratio, minlenratio=ratio),
+        ctc_logp=ctc_logp)
+    want = np.floor(ratio * np.asarray(el)).astype(int)
+    assert want[0] != want[1], "test needs distinct encoder lengths"
+    got = np.asarray(out["lengths"])
+    for i in range(enc_out.shape[0]):
+        assert (got[i] == want[i]).all(), (i, got[i], want[i])
+        # the forced eos is unscored and sits right after the last token
+        toks = np.asarray(out["tokens"][i, 0])
+        assert toks[want[i]] == EOS
+        assert (toks[: want[i]] != EOS).all()
 
 
 def test_ctc_greedy_decode_batched(rng):

@@ -7,6 +7,8 @@ import jax.numpy as jnp
 import pytest
 
 from tpu_asr.ops.pallas.flash_attention import (_xla_attention,
+
+pytestmark = pytest.mark.slow
                                                 flash_attention)
 
 

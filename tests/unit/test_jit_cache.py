@@ -2,6 +2,7 @@
 bucket — no recompilation storms (SURVEY.md section 4)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -10,6 +11,8 @@ from tpu_asr.data.synthetic import make_synthetic_dataset
 from tpu_asr.models import ModelConfig, Transformer
 from tpu_asr.train import TrainState, make_optimizer, make_train_step
 from tpu_asr.frontend import FrontendConfig
+
+pytestmark = pytest.mark.slow
 
 CFG = ModelConfig(vocab_size=16, d_input=80, d_model=16, d_inner=32,
                   num_heads=2, num_enc_layers=1, num_dec_layers=1,

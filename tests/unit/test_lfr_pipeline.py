@@ -2,6 +2,7 @@
 reference's LFR(4,3) front-end."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,8 @@ from tpu_asr.frontend import FrontendConfig
 from tpu_asr.models import ModelConfig, Transformer
 from tpu_asr.train import TrainState, make_optimizer, make_train_step
 from tpu_asr.train.loop import apply_lfr, batch_features
+
+pytestmark = pytest.mark.slow
 
 CFG = ModelConfig(vocab_size=16, d_input=80, d_model=32, d_inner=64,
                   num_heads=2, num_enc_layers=1, num_dec_layers=1,

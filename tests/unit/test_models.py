@@ -126,6 +126,7 @@ def test_ctc_only_model(rng):
     np.testing.assert_allclose(float(out["loss"]), float(out["loss_ctc"]))
 
 
+@pytest.mark.slow
 def test_cif_model_forward(rng):
     cfg = ModelConfig(**{**CFG.__dict__, "model_type": "cif",
                          "ctc_weight": 0.5})

@@ -16,6 +16,8 @@ from tpu_asr.train import Solver, TrainState, make_optimizer
 from tpu_asr.train.checkpoints import Checkpointer
 from tpu_asr.train.metrics import MetricsWriter
 
+pytestmark = pytest.mark.slow
+
 CFG = ModelConfig(vocab_size=16, d_input=80, d_model=32, d_inner=64,
                   num_heads=2, num_enc_layers=1, num_dec_layers=1,
                   dropout=0.0, model_type="ctc")

@@ -111,6 +111,59 @@ def test_checkpoint_roundtrip(tmp_path, rng):
                  state.params, restored.params)
 
 
+def test_mesh_step_equals_single_device(rng):
+    """SPMD correctness, not just liveness: one train step on a dp x tp
+    mesh must produce the SAME loss, grad norm, and updated params as the
+    single-device step (f32 tolerance; reduction order differs across
+    shardings). This is the actual claim of the sharding rules."""
+    from tpu_asr.parallel import make_mesh, shard_batch, replicated
+    from tpu_asr.parallel.sharding import shard_params
+    tx = make_optimizer(CFG.d_model, warmup_steps=10, k=5.0)
+    model, state = _init_state(rng, tx)
+    batch = _batch(rng, b=8)
+
+    step = make_train_step(model, tx, donate=False)
+    s1, m1 = step(state, batch)
+
+    @jax.jit
+    def grads_of(params, batch):
+        def loss_fn(p):
+            out = model.apply({"params": p}, batch["feats"],
+                              batch["feat_lengths"], batch["targets"],
+                              batch["target_lengths"], deterministic=True)
+            return out["loss"]
+        return jax.grad(loss_fn)(params)
+
+    g1 = jax.device_get(grads_of(state.params, batch))
+
+    for n_data, n_model in [(8, 1), (4, 2)]:
+        mesh = make_mesh(n_data=n_data, n_model=n_model,
+                         devices=jax.devices()[: n_data * n_model])
+        mstate = state.replace(
+            params=shard_params(state.params, mesh),
+            opt_state=jax.device_put(state.opt_state, replicated(mesh)),
+            step=jax.device_put(state.step, replicated(mesh)),
+            rng=jax.device_put(state.rng, replicated(mesh)))
+        mbatch = shard_batch({k: np.asarray(v) for k, v in batch.items()},
+                             mesh)
+        # same jit: shardings propagate from the placed args (GSPMD TP)
+        s2, m2 = step(mstate, mbatch)
+
+        np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]),
+                                   rtol=2e-4, err_msg=str((n_data, n_model)))
+        np.testing.assert_allclose(float(m1["grad_norm"]),
+                                   float(m2["grad_norm"]), rtol=2e-4,
+                                   err_msg=str((n_data, n_model)))
+        # FULL gradient-tree equality (post-Adam params are ill-conditioned
+        # for this: near-zero grads flip sign under different reduction
+        # orders and Adam turns that into +-lr)
+        g2 = jax.device_get(grads_of(mstate.params, mbatch))
+        jax.tree.map(
+            lambda a, b: np.testing.assert_allclose(
+                a, b, atol=1e-5, rtol=1e-3,
+                err_msg=str((n_data, n_model))), g1, g2)
+
+
 def test_data_parallel_step_on_cpu_mesh(rng):
     from tpu_asr.parallel import make_mesh, shard_batch, replicated
     assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"

@@ -65,6 +65,15 @@ PRESETS: dict[str, TrainConfig] = {
                                   input_layer="linear", lfr_m=4, lfr_n=3),
         decode_mode="beam",
         beam=BeamConfig(beam=5, max_len=100)),
+    # 3a: CPU-runnable hybrid slice (CLI e2e tests, demos)
+    "hybrid_dev": TrainConfig(
+        model=dataclasses.replace(
+            _BASE, model_type="hybrid", ctc_weight=0.3, d_model=64,
+            d_inner=128, num_heads=2, num_enc_layers=2, num_dec_layers=2,
+            dropout=0.0),
+        epochs=30, warmup_steps=100, lr_k=1.0, batch_frames=8000,
+        num_buckets=2, decode_mode="joint",
+        beam=BeamConfig(beam=5, max_len=24, ctc_weight=0.3)),
     # 3: hybrid CTC/attention (config #3)
     "hybrid": TrainConfig(
         model=dataclasses.replace(_BASE, model_type="hybrid",

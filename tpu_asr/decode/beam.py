@@ -33,6 +33,16 @@ class BeamConfig:
     ctc_cand: int = 0                # CTC-scored candidates/beam (0 = 2*beam)
     length_penalty: float = 0.0      # added per emitted token to final score
     nbest: int = 1
+    # Per-utterance decode-length control (reference recognize_beam
+    # semantics): maxlenratio > 0 caps each utterance at
+    # floor(maxlenratio * enc_length) real tokens, after which an UNSCORED
+    # eos is forced (the reference appends eos at maxlen without scoring
+    # it); 0 = static cfg.max_len only. minlenratio > 0 bans eos until
+    # floor(minlenratio * enc_length) tokens have been emitted — realized
+    # as an eos score mask inside the static scan (the reference instead
+    # drops too-short ended hyps; masking is the in-beam equivalent).
+    maxlenratio: float = 0.0
+    minlenratio: float = 0.0
 
 
 def _tile_beams(x, w):
@@ -80,6 +90,8 @@ def attention_beam_search(
             _tile_beams(ctc_logp, w), enc_lengths_flat, blank=0, eos=eos_id)
         ctc_state = scorer.init_state()
     k_cand = cfg.ctc_cand or 2 * w
+    if ctc_logp is not None:
+        k_cand = min(k_cand, ctc_logp.shape[-1])
 
     def dec_step(y_prev, pos, cache):
         return decoder.apply(dec_params, y_prev, pos, cache, cross_kv,
@@ -93,10 +105,25 @@ def attention_beam_search(
             return jnp.take_along_axis(xr, idx, axis=1).reshape(x.shape)
         return jax.tree.map(g, tree)
 
+    # Per-utterance length control (see BeamConfig). utt_maxlen counts real
+    # tokens before the forced unscored eos; utt_minlen bans eos earlier.
+    if cfg.maxlenratio > 0:
+        utt_maxlen = jnp.clip(
+            jnp.floor(cfg.maxlenratio * enc_lengths).astype(jnp.int32),
+            1, cfg.max_len)
+    else:
+        utt_maxlen = jnp.full((b,), cfg.max_len, jnp.int32)
+    utt_minlen = (
+        jnp.floor(cfg.minlenratio * enc_lengths).astype(jnp.int32)
+        if cfg.minlenratio > 0 else jnp.zeros((b,), jnp.int32))
+
     def step(carry, pos):
         (y_prev, cache, scores, finished, lengths, tokens, ctc_state) = carry
         logits, cache = dec_step(y_prev, pos, cache)
         att_logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        must_end = pos >= utt_maxlen[:, None]           # [B, 1]
+        ban_eos = pos < utt_minlen[:, None]             # [B, 1]
+        ended = finished | must_end                     # [B, W]
 
         if use_ctc:
             # Top-K att candidates per beam (+ eos forced into the set).
@@ -115,10 +142,17 @@ def attention_beam_search(
             step_score = ((1.0 - lam) * cand_logp
                           + lam * (psi - psi_prev[:, None]))      # [N, K+1]
             k_tot = k_cand + 1
-            # finished beams: only the eos slot continues, at zero cost
+            # minlen: ban eos candidates (finished/forced override below)
+            step_score = jnp.where(
+                (cand_ids == eos_id)
+                & jnp.broadcast_to(ban_eos, finished.shape).reshape(n)[:, None],
+                NEG_INF, step_score)
+            # finished (or maxlen-forced) beams: only the eos slot
+            # continues, at zero cost — the reference appends an unscored
+            # eos at maxlen.
             eos_slot = jnp.arange(k_tot)[None, :] == k_cand
             step_score = jnp.where(
-                finished.reshape(n)[:, None],
+                jnp.broadcast_to(ended, finished.shape).reshape(n)[:, None],
                 jnp.where(eos_slot, 0.0, NEG_INF), step_score)
             cand = scores.reshape(n)[:, None] + step_score
             cand = cand.reshape(b, w * k_tot)
@@ -151,9 +185,11 @@ def attention_beam_search(
         else:
             logp = att_logp.reshape(b, w, -1)
             v = logp.shape[-1]
-            eos_forced = jnp.where(
-                jnp.arange(v)[None, None, :] == eos_id, 0.0, NEG_INF)
-            logp = jnp.where(finished[..., None], eos_forced, logp)
+            is_eos_col = jnp.arange(v)[None, None, :] == eos_id
+            # minlen: ban eos until utt_minlen tokens emitted
+            logp = jnp.where(is_eos_col & ban_eos[..., None], NEG_INF, logp)
+            eos_forced = jnp.where(is_eos_col, 0.0, NEG_INF)
+            logp = jnp.where(ended[..., None], eos_forced, logp)
             cand = (scores[..., None] + logp).reshape(b, w * v)
             top_scores, top_idx = jax.lax.top_k(cand, w)
             beam_idx = top_idx // v

@@ -207,6 +207,83 @@ class TorchTransformer(nn.Module):
         return hyps
 
     @torch.no_grad()
+    def recognize_beam_joint(self, feats, feat_lengths, beam=5, max_len=64,
+                             ctc_weight=0.0, ctc_cand=0, nbest=1):
+        """Reference-style host-driven beam search with optional joint
+        CTC/attention scoring, batch=1.
+
+        Control flow follows the reference `Decoder.recognize_beam`
+        (SURVEY.md 3.2: per-token python loop, per-hypothesis decoder
+        forwards, ended hypotheses set aside, eos appended at maxlen) with
+        the joint-scoring variant interleaving CTC prefix scores
+        (Watanabe et al. hybrid decoding). This is the parity oracle the
+        compiled `tpu_asr.decode.beam.attention_beam_search` must agree
+        with at the hypothesis level.
+
+        Returns a list of (token_seq, score) pairs, best first.
+        """
+        enc_out, enc_lengths = self.encode(feats, feat_lengths)
+        t_enc = int(enc_lengths[0])
+        use_ctc = ctc_weight > 0.0
+        scorer = None
+        r0 = None
+        if use_ctc:
+            lpz = F.log_softmax(
+                self.ctc_logits(enc_out).double(), dim=-1)[0, :t_enc]
+            scorer = HostCTCPrefixScore(lpz.numpy(), blank=0, eos=self.eos)
+            r0 = scorer.initial_state()
+        k_cand = (ctc_cand or 2 * beam) if use_ctc else beam
+        hyps = [{"seq": [int(self.sos)], "score": 0.0, "r": r0, "psi": 0.0}]
+        ended = []
+        for i in range(max_len):
+            cands = []
+            for hyp in hyps:
+                ys = torch.tensor([hyp["seq"]])
+                logits = self.decode_logits(enc_out, enc_lengths, ys)
+                att_lp = F.log_softmax(logits[0, -1].double(), dim=-1)
+                if use_ctc:
+                    top = torch.topk(att_lp, min(k_cand, att_lp.shape[-1]))
+                    ids = [int(c) for c in top.indices]
+                    if self.eos not in ids:
+                        ids.append(int(self.eos))
+                    psi, r_new = scorer.score(
+                        hyp["seq"][-1], len(hyp["seq"]) == 1, hyp["r"],
+                        np.asarray(ids))
+                    for j, c in enumerate(ids):
+                        sc = (hyp["score"]
+                              + (1.0 - ctc_weight) * float(att_lp[c])
+                              + ctc_weight * (float(psi[j]) - hyp["psi"]))
+                        is_eos = c == self.eos
+                        cands.append({
+                            "seq": hyp["seq"] + [c], "score": sc,
+                            "r": hyp["r"] if is_eos else r_new[j],
+                            "psi": hyp["psi"] if is_eos else float(psi[j])})
+                else:
+                    top = torch.topk(att_lp, min(beam, att_lp.shape[-1]))
+                    for lp, c in zip(top.values, top.indices):
+                        cands.append({"seq": hyp["seq"] + [int(c)],
+                                      "score": hyp["score"] + float(lp),
+                                      "r": None, "psi": 0.0})
+            cands.sort(key=lambda h: -h["score"])
+            kept = cands[:beam]
+            if i == max_len - 1:
+                # reference appends eos at maxlen without scoring it
+                for h in kept:
+                    if h["seq"][-1] != self.eos:
+                        h["seq"].append(int(self.eos))
+            hyps = []
+            for h in kept:
+                if h["seq"][-1] == self.eos:
+                    ended.append(h)
+                else:
+                    hyps.append(h)
+            if not hyps:
+                break
+        ended.sort(key=lambda h: -h["score"])
+        return [([t for t in h["seq"][1:] if t != self.eos], h["score"])
+                for h in ended[:nbest]]
+
+    @torch.no_grad()
     def beam_decode_utt(self, feats, feat_lengths, beam=5, max_len=64):
         """Reference-style host-driven beam search, batch=1 (for the RTF
         baseline: this is how the reference decodes)."""
@@ -237,6 +314,58 @@ class TorchTransformer(nn.Module):
         finished.sort(key=lambda x: -x[1])
         best = finished[0][0]
         return [t for t in best[1:] if t != self.eos]
+
+
+class HostCTCPrefixScore:
+    """Per-utterance CTC prefix scorer, float64 numpy — the host oracle.
+
+    Same recursion as tpu_asr.decode.ctc_prefix.CTCPrefixScorer (Watanabe
+    et al. hybrid decoding; verified against brute-force path enumeration
+    in tests/unit/test_decode.py), but host-driven per hypothesis, the way
+    the reference's recognize path scores prefixes.
+    """
+
+    def __init__(self, logp: np.ndarray, blank: int = 0,
+                 eos: int | None = None):
+        """logp: [T, V] log-softmaxed CTC posteriors, true length only."""
+        self.logp = np.asarray(logp, dtype=np.float64)
+        self.t, self.v = self.logp.shape
+        self.blank = blank
+        self.eos = eos
+
+    def initial_state(self) -> np.ndarray:
+        """r [T, 2] for the empty prefix: r[:, 0]=r_nb=-inf,
+        r[:, 1]=r_b=cumulative blank log-prob."""
+        r = np.full((self.t, 2), -np.inf)
+        r[:, 1] = np.cumsum(self.logp[:, self.blank])
+        return r
+
+    def score(self, g_last: int, is_first: bool, r_prev: np.ndarray,
+              cands: np.ndarray):
+        """Score K candidate extensions of prefix g.
+
+        Returns (psi [K] prefix log-probs, r_new [K, T, 2]). eos candidates
+        get P(g complete) and should keep the old state.
+        """
+        k = len(cands)
+        x_c = self.logp[:, cands]                       # [T, K]
+        x_b = self.logp[:, self.blank]                  # [T]
+        same = cands == g_last                          # [K]
+        phi = np.logaddexp(
+            r_prev[:, 1:2],
+            np.where(same[None, :], -np.inf, r_prev[:, 0:1]))   # [T, K]
+        r_nb = np.full((self.t, k), -np.inf)
+        r_b = np.full((self.t, k), -np.inf)
+        r_nb[0] = x_c[0] if is_first else -np.inf
+        psi = r_nb[0].copy()
+        for t in range(1, self.t):
+            r_nb[t] = np.logaddexp(r_nb[t - 1], phi[t - 1]) + x_c[t]
+            r_b[t] = np.logaddexp(r_nb[t - 1], r_b[t - 1]) + x_b[t]
+            psi = np.logaddexp(psi, phi[t - 1] + x_c[t])
+        if self.eos is not None:
+            g_complete = np.logaddexp(r_prev[-1, 0], r_prev[-1, 1])
+            psi = np.where(cands == self.eos, g_complete, psi)
+        return psi, np.stack([r_nb.T, r_b.T], axis=-1)  # [K, T, 2]
 
 
 def label_smoothing_loss_torch(logits, targets, eps):

@@ -161,7 +161,11 @@ class Solver:
         bad_epochs = 0
         for epoch in range(self.start_epoch, self.epochs):
             t0 = time.time()
-            tr_loss, n_batches = 0.0, 0
+            n_batches = 0
+            step_losses = []   # device scalars; read ONCE at epoch end —
+            # a float() per step would sync the host to the device every
+            # batch and defeat JAX async dispatch (the loader thread could
+            # no longer hide behind step N+1's dispatch).
             for batch in self.train_loader:
                 if self.profile_dir and epoch == self.start_epoch:
                     if n_batches == 10:
@@ -178,15 +182,16 @@ class Solver:
                              steps_per_sec=n_batches / (time.time() - t0))
                     if self.metrics_writer:
                         self.metrics_writer.write(m)
-                tr_loss += float(metrics["loss"])
-            tr_loss /= max(n_batches, 1)
+                step_losses.append(metrics["loss"])
+            tr_loss = (float(jnp.mean(jnp.stack(step_losses)))
+                       if step_losses else 0.0)
 
-            cv_loss, n_cv = 0.0, 0
+            cv_losses = []
             for batch in self.cv_loader:
                 out = eval_step(state.params, strip_host_fields(batch))
-                cv_loss += float(out["loss"])
-                n_cv += 1
-            cv_loss /= max(n_cv, 1)
+                cv_losses.append(out["loss"])
+            cv_loss = (float(jnp.mean(jnp.stack(cv_losses)))
+                       if cv_losses else 0.0)
             if self.metrics_writer:
                 self.metrics_writer.write(
                     dict(epoch=epoch, step=int(state.step), phase="cv",
