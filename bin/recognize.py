@@ -46,7 +46,10 @@ def parse_args():
     p.add_argument("--batch-frames", type=int, default=16000)
     p.add_argument("--num-buckets", type=int, default=4)
     p.add_argument("--step", type=int, default=-1,
-                   help="checkpoint step (-1 = best/latest)")
+                   help="checkpoint step (-1 = use --restore policy)")
+    p.add_argument("--restore", default="best", choices=["best", "latest"],
+                   help="which checkpoint when --step is -1 (reference "
+                        "decodes final.pth.tar or the best-cv copy)")
     p.add_argument("--platform", default="",
                    help="force jax platform (e.g. cpu) — overrides plugins")
     p.add_argument("--prng-impl", default="rbg",
@@ -105,9 +108,13 @@ def main():
                            b0["targets"], b0["target_lengths"])
     tx = make_optimizer(cfg.d_model)
     state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(0))
-    step = None if args.step < 0 else args.step
-    state, _ = ck.restore(state, step=step if step is not None
-                          else ck.best_step())
+    if args.step >= 0:
+        step = args.step
+    elif args.restore == "latest":
+        step = ck.latest_step()
+    else:
+        step = ck.best_step()
+    state, _ = ck.restore(state, step=step)
     params = {"params": state.params}
 
     rec = Recognizer(cfg=cfg, params=params,

@@ -118,10 +118,11 @@ def main():
         sample_cap = tc.max_frames_cap * scale
         batch_budget = tc.batch_frames * scale
 
+    n_dev = args.num_devices or len(jax.devices())
     buckets = make_buckets(
         train_utts, num_buckets=tc.num_buckets, batch_frames=batch_budget,
         max_frames_cap=sample_cap, max_tokens_cap=tc.max_tokens_cap,
-        length_key=length_key)
+        batch_multiple=n_dev, length_key=length_key)
     print(f"buckets: {buckets}", file=sys.stderr)
     train_loader = DataLoader(train_utts, buckets, mode=mode,
                               waves=waves_arg, seed=tc.seed)
@@ -157,7 +158,6 @@ def main():
         print(f"resumed from step {int(state.step)} (epoch {start_epoch})",
               file=sys.stderr)
 
-    n_dev = args.num_devices or len(jax.devices())
     mesh = make_mesh(n_data=n_dev) if n_dev > 1 else None
 
     lfr = ((mc.lfr_m, mc.lfr_n) if mc.input_layer == "linear" else (1, 1))

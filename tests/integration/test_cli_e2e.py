@@ -1,0 +1,72 @@
+"""End-to-end CLI pipeline test: drives the actual bin/ scripts as
+subprocesses, recipe-shaped (reference egs/aishell/run.sh stages):
+prepare_data -> train -> recognize -> score. Guards arg wiring, the
+checkpoint-dir layout, the decode summary JSON, and the hyp/score file
+formats — none of which the in-process tests touch."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pytest
+
+pytestmark = pytest.mark.slow
+
+REPO = os.path.dirname(os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def run_cli(script, *args):
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # CLIs force cpu via --platform
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bin", script), *args],
+        capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
+    assert out.returncode == 0, (script, out.stdout[-2000:],
+                                 out.stderr[-2000:])
+    return out
+
+
+def test_prepare_train_recognize_score(tmp_path):
+    all_jsonl = tmp_path / "all.jsonl"
+    run_cli("prepare_data.py", "--synthetic", "28", "--vocab-size", "16",
+            "--out", str(all_jsonl))
+    lines = all_jsonl.read_text().strip().split("\n")
+    assert len(lines) == 28
+    cv, train = lines[:4], lines[4:]
+    (tmp_path / "cv.jsonl").write_text("\n".join(cv) + "\n")
+    (tmp_path / "train.jsonl").write_text("\n".join(train) + "\n")
+
+    exp = tmp_path / "exp"
+    out = run_cli("train.py", "--preset", "hybrid_dev",
+                  "--train-manifest", str(tmp_path / "train.jsonl"),
+                  "--cv-manifest", str(tmp_path / "cv.jsonl"),
+                  "--vocab-size", "16", "--epochs", "100",
+                  "--save-folder", str(exp), "--platform", "cpu")
+    assert "done" in out.stderr
+    # checkpoint layout: config sidecar + best tracker + metrics
+    assert (exp / "model_config.json").exists()
+    assert (exp / "best.json").exists()
+    assert (exp / "metrics.jsonl").exists()
+
+    # decode the TRAINING manifest with the LATEST checkpoint: the recipe
+    # smoke is "overfit, then decode it back" (cv-best on 4 synthetic utts
+    # restores an early checkpoint by design — not what this test probes)
+    hyp = tmp_path / "hyp.jsonl"
+    out = run_cli("recognize.py", "--ckpt", str(exp), "--restore", "latest",
+                  "--manifest", str(tmp_path / "train.jsonl"),
+                  "--mode", "joint", "--beam", "5", "--max-len", "24",
+                  "--output", str(hyp), "--platform", "cpu")
+    summary = json.loads(out.stdout.strip().split("\n")[-1])
+    assert summary["n_utts"] == 24
+    assert summary["mode"] == "joint"
+    assert summary["inverse_rtf"] > 0
+    assert summary["cer"] < 0.5, summary
+    hyps = [json.loads(l) for l in hyp.read_text().strip().split("\n")]
+    assert len(hyps) == 24 and all("hyp_tokens" in h for h in hyps)
+
+    out = run_cli("score.py", "--manifest", str(tmp_path / "train.jsonl"),
+                  "--hyp", str(hyp))
+    score = json.loads(out.stdout.strip().split("\n")[-1])
+    assert abs(score["cer"] - summary["cer"]) < 1e-6, (score, summary)

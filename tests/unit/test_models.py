@@ -45,6 +45,40 @@ def test_transformer_forward_and_losses(rng):
         rtol=1e-6)
 
 
+@pytest.mark.parametrize("model_type", ["hybrid", "cif"])
+def test_dummy_row_masking(rng, model_type):
+    """Static-batch padding: appending dummy rows (feat_lengths == 0,
+    IGNORE targets) must leave every loss IDENTICAL and keep gradients
+    finite — this is what lets the loader pad partial batches to the
+    bucket's batch_size for the dp mesh."""
+    feats, fl, targets, tl = make_batch(rng)
+    cfg = ModelConfig(**{**CFG.__dict__, "model_type": model_type,
+                         "ctc_weight": 0.3})
+    model = CifModel(cfg) if model_type == "cif" else Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(0), feats, fl, targets, tl)
+    out_real = model.apply(params, feats, fl, targets, tl)
+
+    n_pad = 2
+    feats_p = jnp.concatenate(
+        [feats, jnp.zeros((n_pad,) + feats.shape[1:], feats.dtype)])
+    fl_p = jnp.concatenate([fl, jnp.zeros((n_pad,), fl.dtype)])
+    targets_p = jnp.concatenate(
+        [targets, jnp.full((n_pad, targets.shape[1]), IGNORE_ID,
+                           targets.dtype)])
+    tl_p = jnp.concatenate([tl, jnp.zeros((n_pad,), tl.dtype)])
+    out_pad = model.apply(params, feats_p, fl_p, targets_p, tl_p)
+    for k in out_real:
+        np.testing.assert_allclose(float(out_real[k]), float(out_pad[k]),
+                                   rtol=1e-5, err_msg=k)
+
+    def loss_fn(p):
+        return model.apply(p, feats_p, fl_p, targets_p, tl_p)["loss"]
+
+    grads = jax.grad(loss_fn)(params)
+    for path, g in jax.tree_util.tree_flatten_with_path(grads)[0]:
+        assert np.isfinite(np.asarray(g)).all(), path
+
+
 def test_encoder_padding_invariance(rng):
     """Extending time padding must not change valid outputs or losses."""
     feats, fl, targets, tl = make_batch(rng, t=37)

@@ -111,6 +111,28 @@ def test_checkpoint_roundtrip(tmp_path, rng):
                  state.params, restored.params)
 
 
+def test_best_checkpoint_survives_gc(tmp_path, rng):
+    """The best-by-cv checkpoint must be pinned against max_to_keep GC
+    (the reference keeps its best .pth.tar forever); recognize.py restores
+    best_step() long after training moved on."""
+    from tpu_asr.train.checkpoints import Checkpointer
+    tx = make_optimizer(CFG.d_model)
+    model, state = _init_state(rng, tx)
+    ck = Checkpointer(str(tmp_path / "ckpt"), max_to_keep=2)
+    cvs = [5.0, 1.0, 4.0, 3.9, 3.8, 3.7]          # best at step 1
+    best = float("inf")
+    for i, cv in enumerate(cvs):
+        st = state.replace(step=jnp.asarray(i, jnp.int32))
+        is_best = cv < best
+        best = min(best, cv)
+        ck.save(st, epoch=i, cv_loss=cv, is_best=is_best)
+    ck.wait()
+    assert ck.best_step() == 1
+    restored, meta = ck.restore(state, step=ck.best_step())
+    assert meta["is_best"] and abs(meta["cv_loss"] - 1.0) < 1e-9
+    assert int(restored.step) == 1
+
+
 def test_mesh_step_equals_single_device(rng):
     """SPMD correctness, not just liveness: one train step on a dp x tp
     mesh must produce the SAME loss, grad norm, and updated params as the

@@ -38,13 +38,17 @@ def make_buckets(
     frame_multiple: int = 32,
     token_multiple: int = 8,
     min_batch: int = 1,
+    batch_multiple: int = 1,
     length_key: str = "num_frames",
 ) -> list[Bucket]:
     """Choose bucket boundaries from the length distribution.
 
     batch_frames is the per-batch input budget (reference --batch_frames);
     each bucket's batch_size = batch_frames // max_frames, so step cost is
-    roughly constant across buckets.
+    roughly constant across buckets. batch_size is capped by the bucket's
+    population (batches are PADDED to batch_size — see DataLoader) and
+    rounded to batch_multiple so batch dims divide the data-parallel mesh
+    axis.
     """
     lens = np.asarray([getattr(u, length_key) for u in utts])
     toks = np.asarray([u.num_tokens for u in utts])
@@ -56,13 +60,19 @@ def make_buckets(
     frame_bounds = sorted({
         _round_up(int(np.percentile(lens, q)), frame_multiple) for q in qs})
     buckets = []
+    prev_fb = -1
     for fb in frame_bounds:
         sel = lens <= fb
         tb = _round_up(int(np.percentile(toks[sel], 97)) if sel.any() else
                        max_tokens_cap, token_multiple)
         tb = min(tb, _round_up(max_tokens_cap, token_multiple))
         bs = max(batch_frames // fb, min_batch)
+        population = int(((lens > prev_fb) & sel).sum())
+        bs = min(bs, max(population, 1))
+        if batch_multiple > 1:
+            bs = max(bs // batch_multiple * batch_multiple, batch_multiple)
         buckets.append(Bucket(fb, tb, bs))
+        prev_fb = fb
     return buckets
 
 

@@ -33,6 +33,7 @@ class DataLoader:
         seed: int = 0,
         prefetch: int = 2,
         epoch: int = 0,
+        pad_to_batch_size: bool = True,
     ):
         assert mode in ("wav", "feat")
         self.utts = utts
@@ -43,6 +44,7 @@ class DataLoader:
         self.shuffle = shuffle
         self.sort_by_length = sort_by_length
         self.drop_last = drop_last
+        self.pad_to_batch_size = pad_to_batch_size
         self.seed = seed
         self.prefetch = prefetch
         self.epoch = epoch
@@ -70,7 +72,19 @@ class DataLoader:
         return native.read_ark_mat(u.feat)
 
     def _make_batch(self, bucket: Bucket, idxs: list[int]) -> dict:
-        n = len(idxs)
+        """Collate one batch, padded to the bucket's STATIC shape.
+
+        A partial final chunk is padded with dummy rows (all-zero input,
+        length 0, IGNORE targets) up to bucket.batch_size, so every batch
+        of a bucket has one shape (one executable per bucket, and batch
+        dims stay divisible by the data-parallel mesh axis). The models
+        mask rows with feat_lengths == 0 out of every loss; `ids` lists
+        only the real utterances, so decode consumers drop dummy rows by
+        zipping against it.
+        """
+        n_real = len(idxs)
+        n = (bucket.batch_size if self.pad_to_batch_size
+             else n_real)
         us = [self.utts[i] for i in idxs]
         tmax, umax = bucket.max_frames, bucket.max_tokens
         targets = np.full((n, umax), IGNORE_ID, np.int32)
@@ -80,15 +94,19 @@ class DataLoader:
             tlens[j] = len(u.tokens)
         from tpu_asr import native
         xs = [self._load_input(u) for u in us]
-        lens = np.asarray([x.shape[0] for x in xs], np.int32)
+        lens = np.zeros((n,), np.int32)
+        lens[:n_real] = [x.shape[0] for x in xs]
+        padded = native.pad_batch(xs, tmax)
+        if n > n_real:
+            pad_rows = np.zeros((n - n_real,) + padded.shape[1:],
+                                padded.dtype)
+            padded = np.concatenate([padded, pad_rows], axis=0)
+        ids = [u.id for u in us]
         if self.mode == "wav":
-            wav = native.pad_batch(xs, tmax)[:, :, 0]
-            return {"wav": wav, "wav_lengths": lens, "targets": targets,
-                    "target_lengths": tlens,
-                    "ids": [u.id for u in us]}
-        feats = native.pad_batch(xs, tmax)
-        return {"feats": feats, "feat_lengths": lens, "targets": targets,
-                "target_lengths": tlens, "ids": [u.id for u in us]}
+            return {"wav": padded[:, :, 0], "wav_lengths": lens,
+                    "targets": targets, "target_lengths": tlens, "ids": ids}
+        return {"feats": padded, "feat_lengths": lens, "targets": targets,
+                "target_lengths": tlens, "ids": ids}
 
     def __len__(self):
         return len(plan_batches(self.utts, self.buckets, shuffle=False,

@@ -28,7 +28,8 @@ from tpu_asr.models.transformer import CTCHead, add_sos_eos
 from tpu_asr.ops.cif import (cif_fire, fire_count, quantity_loss,
                              scale_alphas)
 from tpu_asr.ops.ctc import ctc_loss
-from tpu_asr.ops.losses import label_smoothing_loss, token_accuracy
+from tpu_asr.ops.losses import (label_smoothing_loss, masked_row_mean,
+                                token_accuracy)
 from tpu_asr.utils.padding import make_causal_mask, make_valid_mask
 
 
@@ -159,13 +160,16 @@ class CifModel(nn.Module):
         c = self.cfg
         enc_out, enc_lengths, alphas, valid = self.encode(
             feats, feat_lengths, deterministic)
+        # dummy rows from the static-batch loader carry no loss
+        row_valid = feat_lengths > 0
         # Quantity loss on UNSCALED alphas; teacher-forced fire count. The
         # target includes the <eos> fire (U+1 fires: one per output token).
         u_fire = target_lengths + 1
-        loss_qty = quantity_loss(alphas, valid, u_fire)
+        loss_qty = quantity_loss(alphas, valid, u_fire, row_valid=row_valid)
         scaled = scale_alphas(alphas, valid, u_fire)
         ys_in, ys_out = add_sos_eos(targets, target_lengths,
                                     self.sos_id, self.eos_id)
+        ys_out = jnp.where(row_valid[:, None], ys_out, IGNORE_ID)
         fired = self.fire(enc_out, scaled, ys_in.shape[1])       # [B,U+1,D]
         logits = self.decode_logits(ys_in, fired, deterministic)
         loss_att, _ = label_smoothing_loss(logits, ys_out, c.label_smoothing)
@@ -177,13 +181,14 @@ class CifModel(nn.Module):
             safe_targets = jnp.where(targets == IGNORE_ID, 0, targets)
             if c.ctc_pallas:
                 from tpu_asr.ops.pallas.ctc import ctc_loss_pallas
-                loss_ctc = ctc_loss_pallas(ctc_lg, safe_targets, enc_lengths,
-                                           target_lengths, blank=0,
-                                           reduction="mean_label")
+                nll = ctc_loss_pallas(ctc_lg, safe_targets, enc_lengths,
+                                      target_lengths, blank=0,
+                                      reduction="none")
             else:
-                loss_ctc = ctc_loss(ctc_lg, safe_targets, enc_lengths,
-                                    target_lengths, blank=0,
-                                    reduction="mean_label")
+                nll = ctc_loss(ctc_lg, safe_targets, enc_lengths,
+                               target_lengths, blank=0, reduction="none")
+            loss_ctc = masked_row_mean(
+                nll / jnp.maximum(target_lengths, 1), row_valid)
             out["loss_ctc"] = loss_ctc
             loss = loss + c.ctc_weight * loss_ctc
         out["loss"] = loss

@@ -20,7 +20,8 @@ from tpu_asr.models.config import ModelConfig
 from tpu_asr.models.decoder import Decoder
 from tpu_asr.models.encoder import Encoder
 from tpu_asr.ops.ctc import ctc_loss
-from tpu_asr.ops.losses import label_smoothing_loss, token_accuracy
+from tpu_asr.ops.losses import (label_smoothing_loss, masked_row_mean,
+                                token_accuracy)
 
 
 def add_sos_eos(targets: jnp.ndarray, target_lengths: jnp.ndarray,
@@ -91,11 +92,16 @@ class Transformer(nn.Module):
         """Returns dict(loss, loss_att, loss_ctc, acc, ...) — all scalars."""
         c = self.cfg
         enc_out, enc_lengths = self.encode(feats, feat_lengths, deterministic)
+        # rows padded in by the static-batch loader (feat_lengths == 0)
+        # carry no loss; with no dummy rows these reductions are identical
+        # to plain mean / mean_label.
+        row_valid = feat_lengths > 0
         out = {}
         loss = 0.0
         if self.has_decoder:
             ys_in, ys_out = add_sos_eos(
                 targets, target_lengths, self.sos_id, self.eos_id)
+            ys_out = jnp.where(row_valid[:, None], ys_out, IGNORE_ID)
             logits = self.decode_logits(enc_out, enc_lengths, ys_in,
                                         deterministic)
             loss_att, n_tok = label_smoothing_loss(
@@ -108,13 +114,14 @@ class Transformer(nn.Module):
             safe_targets = jnp.where(targets == IGNORE_ID, 0, targets)
             if c.ctc_pallas:
                 from tpu_asr.ops.pallas.ctc import ctc_loss_pallas
-                loss_ctc = ctc_loss_pallas(ctc_lg, safe_targets, enc_lengths,
-                                           target_lengths, blank=0,
-                                           reduction="mean_label")
+                nll = ctc_loss_pallas(ctc_lg, safe_targets, enc_lengths,
+                                      target_lengths, blank=0,
+                                      reduction="none")
             else:
-                loss_ctc = ctc_loss(ctc_lg, safe_targets, enc_lengths,
-                                    target_lengths, blank=0,
-                                    reduction="mean_label")
+                nll = ctc_loss(ctc_lg, safe_targets, enc_lengths,
+                               target_lengths, blank=0, reduction="none")
+            loss_ctc = masked_row_mean(
+                nll / jnp.maximum(target_lengths, 1), row_valid)
             out["loss_ctc"] = loss_ctc
             if self.has_decoder:
                 lam = c.ctc_weight

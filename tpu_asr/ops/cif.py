@@ -41,11 +41,17 @@ def scale_alphas(alphas: jnp.ndarray, valid_mask: jnp.ndarray,
 
 
 def quantity_loss(alphas: jnp.ndarray, valid_mask: jnp.ndarray,
-                  target_lengths: jnp.ndarray) -> jnp.ndarray:
+                  target_lengths: jnp.ndarray,
+                  row_valid: jnp.ndarray | None = None) -> jnp.ndarray:
     """| sum(alpha) - U | averaged over the batch (reference: CIF quantity
-    loss on the *unscaled* alphas)."""
+    loss on the *unscaled* alphas). row_valid masks dummy rows padded in
+    by the static-batch loader."""
     total = jnp.sum(jnp.where(valid_mask, alphas, 0.0), axis=-1)
-    return jnp.mean(jnp.abs(total - target_lengths.astype(total.dtype)))
+    per = jnp.abs(total - target_lengths.astype(total.dtype))
+    if row_valid is None:
+        return jnp.mean(per)
+    n = jnp.maximum(jnp.sum(row_valid), 1)
+    return jnp.sum(jnp.where(row_valid, per, 0.0)) / n
 
 
 def cif_weights(alphas: jnp.ndarray, u_max: int) -> jnp.ndarray:

@@ -46,6 +46,16 @@ def label_smoothing_loss(
     return loss, n_tokens
 
 
+def masked_row_mean(per_row: jnp.ndarray, row_valid: jnp.ndarray
+                    ) -> jnp.ndarray:
+    """Mean of per-row losses over valid rows only. Batches are padded to
+    their bucket's static batch_size with dummy rows (feat_lengths == 0);
+    those rows must not contribute to any loss, so every batch-mean in the
+    models goes through this."""
+    n = jnp.maximum(jnp.sum(row_valid), 1)
+    return jnp.sum(jnp.where(row_valid, per_row, 0.0)) / n
+
+
 def token_accuracy(
     logits: jnp.ndarray,
     targets: jnp.ndarray,

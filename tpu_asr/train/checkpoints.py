@@ -40,12 +40,24 @@ class Checkpointer:
     def __init__(self, directory: str, max_to_keep: int = 5):
         self.directory = os.path.abspath(directory)
         os.makedirs(self.directory, exist_ok=True)
+        # the best-by-cv checkpoint is pinned against max_to_keep GC
+        # (reference keeps its best .pth.tar copy forever); the closure
+        # reads the current best at GC time.
+        self._pinned_best = self._read_best_json_step()
         self.manager = ocp.CheckpointManager(
             self.directory,
             options=ocp.CheckpointManagerOptions(
-                max_to_keep=max_to_keep, create=True,
-                best_fn=None, enable_async_checkpointing=True),
+                max_to_keep=max_to_keep, create=True, best_fn=None,
+                should_keep_fn=lambda step: step == self._pinned_best,
+                enable_async_checkpointing=True),
         )
+
+    def _read_best_json_step(self):
+        path = os.path.join(self.directory, "best.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                return json.load(f)["step"]
+        return None
 
     def save_config(self, cfg: ModelConfig) -> None:
         with open(os.path.join(self.directory, "model_config.json"), "w") as f:
@@ -60,6 +72,8 @@ class Checkpointer:
         step = int(state.step)
         meta = {"epoch": epoch, "cv_loss": float(cv_loss),
                 "is_best": bool(is_best)}
+        if is_best:
+            self._pinned_best = step   # before save: GC runs at save time
         self.manager.save(
             step, args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
@@ -75,10 +89,10 @@ class Checkpointer:
         return self.manager.latest_step()
 
     def best_step(self):
-        path = os.path.join(self.directory, "best.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                return json.load(f)["step"]
+        best = self._read_best_json_step()
+        if best is not None and best in (self.manager.all_steps() or []):
+            return best
+        # best.json from an older run whose step was GC'd: fall back
         return self.latest_step()
 
     def restore(self, abstract_state, step: int | None = None):
