@@ -7,9 +7,9 @@ import jax.numpy as jnp
 import pytest
 
 from tpu_asr.ops.pallas.flash_attention import (_xla_attention,
+                                                flash_attention)
 
 pytestmark = pytest.mark.slow
-                                                flash_attention)
 
 
 def qkv(rng, b=2, tq=50, tk=50, h=2, dh=32):
