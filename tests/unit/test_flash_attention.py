@@ -77,6 +77,65 @@ def test_flash_grads(rng):
                                    rtol=1e-4, atol=1e-5)
 
 
+def _grad_pair(q, k, v, valid, causal):
+    def f_flash(q, k, v):
+        return jnp.sum(flash_attention(q, k, v, kv_valid=valid,
+                                       causal=causal, interpret=True) ** 2)
+
+    def f_ref(q, k, v):
+        return jnp.sum(_xla_attention(q, k, v, valid.astype(jnp.float32),
+                                      causal) ** 2)
+
+    g1 = jax.grad(f_flash, argnums=(0, 1, 2))(q, k, v)
+    g2 = jax.grad(f_ref, argnums=(0, 1, 2))(q, k, v)
+    return g1, g2
+
+
+def test_flash_grads_multitile_causal(rng, monkeypatch):
+    """Pallas backward across several q/k tiles with padding remainders,
+    causal + key-padding masks together."""
+    import tpu_asr.ops.pallas.flash_attention as fa
+    for attr in ("DEFAULT_TQ", "DEFAULT_TK", "DEFAULT_BWD_TQ",
+                 "DEFAULT_BWD_TK"):
+        monkeypatch.setattr(fa, attr, 16)
+    q, k, v = qkv(rng, tq=40, tk=40)      # 40 -> 3 tiles of 16, pad 8
+    valid = (jnp.arange(40)[None, :] < jnp.asarray([40, 23])[:, None])
+    for causal in (False, True):
+        g1, g2 = _grad_pair(q, k, v, valid, causal)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-4, atol=1e-5)
+
+
+def test_flash_grads_dummy_row(rng):
+    """A fully length-0 batch row (loader dummy padding) must get exactly
+    zero, finite gradients through the Pallas backward."""
+    q, k, v = qkv(rng, b=2, tq=24, tk=24)
+    valid = (jnp.arange(24)[None, :] < jnp.asarray([24, 0])[:, None])
+    g1, g2 = _grad_pair(q, k, v, valid, False)
+    # valid row matches XLA; the XLA oracle is invalid for the all-masked
+    # row (its softmax degenerates to uniform attention), where the flash
+    # kernel's exactly-zero output/grads are the correct semantics.
+    for a, b in zip(g1, g2):
+        assert np.all(np.isfinite(np.asarray(a)))
+        np.testing.assert_allclose(np.asarray(a[0]), np.asarray(b[0]),
+                                   rtol=1e-4, atol=1e-5)
+    # dummy row's grads vanish
+    for a in g1:
+        np.testing.assert_allclose(np.asarray(a[1]), 0.0, atol=1e-6)
+
+
+def test_flash_grads_bf16(rng):
+    q, k, v = (x.astype(jnp.bfloat16) for x in qkv(rng, tq=32, tk=32))
+    valid = (jnp.arange(32)[None, :] < jnp.asarray([32, 17])[:, None])
+    g1, g2 = _grad_pair(q, k, v, valid, True)
+    for a, b in zip(g1, g2):
+        assert a.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(a, np.float32),
+                                   np.asarray(b, np.float32),
+                                   rtol=2e-2, atol=2e-2)
+
+
 def test_flash_in_encoder(rng):
     """use_pallas=True encoder (interpret mode) == XLA encoder."""
     from tpu_asr.models import ModelConfig, Transformer
