@@ -35,6 +35,8 @@ def parse_args():
                    help="token dict file (sets vocab size)")
     p.add_argument("--epochs", type=int, default=0)
     p.add_argument("--batch-frames", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=0,
+                   help="fixed utterances per batch (reference --batch_size mode; overrides the batch-frames budget)")
     p.add_argument("--warmup-steps", type=int, default=0)
     p.add_argument("--lr-k", type=float, default=0.0)
     p.add_argument("--continue-from", dest="continue_from")
@@ -85,6 +87,8 @@ def main():
         tc = dataclasses.replace(tc, epochs=args.epochs)
     if args.batch_frames:
         tc = dataclasses.replace(tc, batch_frames=args.batch_frames)
+    if args.batch_size:
+        tc = dataclasses.replace(tc, batch_size=args.batch_size)
     if args.warmup_steps:
         tc = dataclasses.replace(tc, warmup_steps=args.warmup_steps)
     if args.lr_k:
@@ -122,7 +126,8 @@ def main():
     buckets = make_buckets(
         train_utts, num_buckets=tc.num_buckets, batch_frames=batch_budget,
         max_frames_cap=sample_cap, max_tokens_cap=tc.max_tokens_cap,
-        batch_multiple=n_dev, length_key=length_key)
+        batch_multiple=n_dev, length_key=length_key,
+        batch_size=tc.batch_size)
     print(f"buckets: {buckets}", file=sys.stderr)
     train_loader = DataLoader(train_utts, buckets, mode=mode,
                               waves=waves_arg, seed=tc.seed)

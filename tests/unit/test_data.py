@@ -57,6 +57,68 @@ def test_loader_pads_to_bucket_shape(rng):
     assert seen == len(utts)
 
 
+def test_batch_size_mode(rng):
+    """Reference --batch_size mode: fixed utterance count per batch across
+    all buckets, instead of the batch_frames budget."""
+    utts, _ = _utts(rng)
+    buckets = make_buckets(utts, num_buckets=3, batch_frames=160000,
+                           max_frames_cap=200000, length_key="num_samples",
+                           batch_size=4)
+    assert all(b.batch_size <= 4 for b in buckets)
+    assert max(b.batch_size for b in buckets) == 4
+    plan = plan_batches(utts, buckets, shuffle=False,
+                        length_key="num_samples")
+    assert all(len(idxs) <= 4 for _, idxs in plan)
+    covered = [i for _, idxs in plan for i in idxs]
+    assert sorted(covered) == list(range(len(utts)))
+    # still rounds to the mesh multiple
+    b2 = make_buckets(utts, num_buckets=2, batch_frames=160000,
+                      max_frames_cap=200000, length_key="num_samples",
+                      batch_size=6, batch_multiple=4)
+    assert all(b.batch_size % 4 == 0 for b in b2)
+
+
+def test_ark_feat_loader_trains_step(tmp_path, rng):
+    """End-to-end feat-mode ingestion: binary kaldi ark -> native C++ parser
+    -> feat DataLoader (batch_size mode) -> one finite train step.
+    (Reference: src/data/data.py reads fbank mats from ark via kaldi_io.)"""
+    import jax
+    import jax.numpy as jnp
+    from tpu_asr.models import ModelConfig, Transformer
+    from tpu_asr.train import TrainState, make_optimizer, make_train_step
+    from tpu_asr.train.loop import strip_host_fields
+
+    d_in, n = 8, 6
+    ark = tmp_path / "feats.ark"
+    utts = []
+    with open(ark, "wb") as f:
+        for i in range(n):
+            t = int(rng.integers(20, 40))
+            off = write_mat(f, rng.standard_normal((t, d_in))
+                            .astype(np.float32), key=f"u{i}")
+            toks = [int(x) for x in rng.integers(2, 14, 3)]
+            utts.append(Utterance(id=f"u{i}", tokens=toks,
+                                  feat=f"{ark}:{off}", num_frames=t))
+    buckets = make_buckets(utts, num_buckets=1, max_frames_cap=64,
+                           max_tokens_cap=8, batch_size=3)
+    loader = DataLoader(utts, buckets, mode="feat", shuffle=False)
+    batches = list(loader)
+    assert sum(int((b["feat_lengths"] > 0).sum()) for b in batches) == n
+    cfg = ModelConfig(vocab_size=16, d_input=d_in, d_model=16, d_inner=32,
+                      num_heads=2, num_enc_layers=1, num_dec_layers=1,
+                      model_type="hybrid", dropout=0.0)
+    model = Transformer(cfg)
+    b0 = {k: jnp.asarray(v) for k, v in strip_host_fields(batches[0]).items()}
+    params = model.init(jax.random.PRNGKey(0), b0["feats"],
+                        b0["feat_lengths"], b0["targets"],
+                        b0["target_lengths"])
+    tx = make_optimizer(cfg.d_model)
+    state = TrainState.create(params["params"], tx, jax.random.PRNGKey(1))
+    step = make_train_step(model, tx, donate=False)
+    state, metrics = step(state, b0)
+    assert np.isfinite(float(metrics["loss"]))
+
+
 def test_kaldi_ark_roundtrip(tmp_path, rng):
     mats = [rng.standard_normal((7, 5)).astype(np.float32),
             rng.standard_normal((3, 5)).astype(np.float32)]

@@ -31,6 +31,8 @@ class TrainConfig:
     lr_k: float = 1.0
     grad_clip: float = 5.0
     batch_frames: int = 16000      # per-batch input budget (bucket planning)
+    batch_size: int | None = None  # fixed utts/batch (reference --batch_size
+    #                                mode; overrides the batch_frames budget)
     num_buckets: int = 4
     max_frames_cap: int = 3000
     max_tokens_cap: int = 200

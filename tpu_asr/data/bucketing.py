@@ -40,15 +40,17 @@ def make_buckets(
     min_batch: int = 1,
     batch_multiple: int = 1,
     length_key: str = "num_frames",
+    batch_size: int | None = None,
 ) -> list[Bucket]:
     """Choose bucket boundaries from the length distribution.
 
     batch_frames is the per-batch input budget (reference --batch_frames);
     each bucket's batch_size = batch_frames // max_frames, so step cost is
-    roughly constant across buckets. batch_size is capped by the bucket's
-    population (batches are PADDED to batch_size — see DataLoader) and
-    rounded to batch_multiple so batch dims divide the data-parallel mesh
-    axis.
+    roughly constant across buckets. Passing batch_size instead fixes the
+    utterance count per batch across every bucket (reference --batch_size
+    mode). Either way batch_size is capped by the bucket's population
+    (batches are PADDED to batch_size — see DataLoader) and rounded to
+    batch_multiple so batch dims divide the data-parallel mesh axis.
     """
     lens = np.asarray([getattr(u, length_key) for u in utts])
     toks = np.asarray([u.num_tokens for u in utts])
@@ -66,7 +68,8 @@ def make_buckets(
         tb = _round_up(int(np.percentile(toks[sel], 97)) if sel.any() else
                        max_tokens_cap, token_multiple)
         tb = min(tb, _round_up(max_tokens_cap, token_multiple))
-        bs = max(batch_frames // fb, min_batch)
+        bs = (batch_size if batch_size is not None
+              else max(batch_frames // fb, min_batch))
         population = int(((lens > prev_fb) & sel).sum())
         bs = min(bs, max(population, 1))
         if batch_multiple > 1:

@@ -64,7 +64,8 @@ class Encoder(nn.Module):
         c = self.cfg
         if c.input_layer == "conv2d":
             self.subsample = Conv2dSubsampling(
-                c.d_model, dtype=c.dtype, param_dtype=c.param_dtype)
+                c.d_model, channels=c.conv_channels, dtype=c.dtype,
+                param_dtype=c.param_dtype)
         elif c.input_layer == "linear":
             self.linear_in = nn.Dense(c.d_model, dtype=c.dtype,
                                       param_dtype=c.param_dtype)

@@ -94,8 +94,9 @@ class TorchDecoderLayer(nn.Module):
 
 
 class TorchConvSubsample(nn.Module):
-    def __init__(self, cfg: ModelConfig, channels: int = 256):
+    def __init__(self, cfg: ModelConfig, channels: int | None = None):
         super().__init__()
+        channels = cfg.conv_channels if channels is None else channels
         self.conv1 = nn.Conv2d(1, channels, 3, stride=2)
         self.conv2 = nn.Conv2d(channels, channels, 3, stride=2)
         f = cfg.d_input
