@@ -8,6 +8,12 @@ reference-style host-driven PyTorch-CPU beam decode (tpu_asr.parity
 .torch_twin) — BASELINE.json's ">=10x the PyTorch CPU reference
 inverse-RTF per v5e chip" target.
 
+Workload realism: utterance lengths are drawn from an AISHELL-1-like
+duration distribution (lognormal, mean ~4.3 s, clipped to [2.5 s, 10 s])
+instead of a fixed length; the torch baseline decodes 8 utterances from
+the same distribution at the SAME max_len as the TPU path. inverse-RTF on
+both sides counts only real (unpadded) audio seconds.
+
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 """
 
@@ -24,15 +30,23 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-# AISHELL-ish workload: ~10 s utterances, 80-dim fbank @ 100 fps
+# AISHELL-ish workload: 80-dim fbank @ 100 fps, padded bucket T=1000
 T_FRAMES = 1000
-AUDIO_S = T_FRAMES * 0.01
 U_TOK = 24
 BATCH = 32
 N_BATCHES = 4
 BEAM = 5
 MAX_LEN = 40
-TORCH_UTTS = 2
+TORCH_UTTS = 8
+
+
+def utt_lengths(n, seed):
+    """AISHELL-1-like frame lengths: lognormal around ~430 frames (4.3 s),
+    clipped to [250, 1000] (the recipe's maxlen_in filtering caps the
+    tail)."""
+    rng = np.random.default_rng(seed)
+    lens = np.exp(rng.normal(np.log(430.0), 0.35, n))
+    return np.clip(lens, 250, T_FRAMES).astype(np.int32)
 
 
 def build():
@@ -49,7 +63,7 @@ def build():
     rng = np.random.default_rng(0)
     feats = jnp.asarray(
         rng.standard_normal((BATCH, T_FRAMES, 80)).astype(np.float32))
-    flens = jnp.asarray(np.full(BATCH, T_FRAMES, np.int32))
+    flens = jnp.asarray(utt_lengths(BATCH, seed=7))
     targets = jnp.asarray(rng.integers(2, 4231, (BATCH, U_TOK)).astype(np.int32))
     tlens = jnp.asarray(np.full(BATCH, U_TOK, np.int32))
     params = model.init(jax.random.PRNGKey(0), feats, flens, targets, tlens)
@@ -57,7 +71,6 @@ def build():
 
 
 def bench_decode_tpu(cfg, params, feats, flens, mode="joint", beam=BEAM):
-    import jax
     from tpu_asr.decode.beam import BeamConfig
     from tpu_asr.decode.recognizer import Recognizer
 
@@ -69,12 +82,12 @@ def bench_decode_tpu(cfg, params, feats, flens, mode="joint", beam=BEAM):
     batch = {"feats": feats, "feat_lengths": flens}
     t0 = time.time()
     rec.decode_batch(batch)
-    log(f"{mode} compile+first batch: {time.time()-t0:.1f}s")
+    log(f"{mode} beam={beam} compile+first batch: {time.time()-t0:.1f}s")
     t0 = time.time()
     for _ in range(N_BATCHES):
         rec.decode_batch(batch)
     wall = time.time() - t0
-    audio = BATCH * N_BATCHES * AUDIO_S
+    audio = float(np.sum(np.asarray(flens))) * 0.01 * N_BATCHES
     return audio / wall
 
 
@@ -101,6 +114,8 @@ def bench_train_tpu(cfg, model, params, batch_arrays):
 
 
 def bench_torch_baseline(cfg, params):
+    """Reference-style host-driven beam decode (PyTorch CPU), 8 utterances
+    from the same length distribution at the same max_len as the TPU path."""
     import dataclasses
     import jax.numpy as jnp
     import torch
@@ -112,15 +127,17 @@ def bench_torch_baseline(cfg, params):
     import_flax_params(twin, params)
     twin.eval()
     rng = np.random.default_rng(1)
+    lens = utt_lengths(TORCH_UTTS, seed=11)
     wall = 0.0
     for i in range(TORCH_UTTS):
+        t = int(lens[i])
         feats = torch.tensor(
-            rng.standard_normal((1, T_FRAMES, 80)).astype(np.float32))
-        fl = torch.tensor([T_FRAMES])
+            rng.standard_normal((1, t, 80)).astype(np.float32))
+        fl = torch.tensor([t])
         t0 = time.time()
-        twin.beam_decode_utt(feats, fl, beam=BEAM, max_len=16)
+        twin.beam_decode_utt(feats, fl, beam=BEAM, max_len=MAX_LEN)
         wall += time.time() - t0
-    audio = TORCH_UTTS * AUDIO_S
+    audio = float(lens.sum()) * 0.01
     return audio / wall
 
 
@@ -129,14 +146,17 @@ def main():
     feats, flens, targets, tlens = batch_arrays
 
     inv_rtf = bench_decode_tpu(cfg, params, feats, flens)
-    log(f"tpu joint-beam decode inverse-RTF: {inv_rtf:.1f}")
+    log(f"tpu joint-beam-{BEAM} decode inverse-RTF: {inv_rtf:.1f}")
+    inv_rtf_b10 = bench_decode_tpu(cfg, params, feats, flens, beam=10)
+    log(f"tpu joint-beam-10 decode inverse-RTF: {inv_rtf_b10:.1f}")
     greedy_rtf = bench_decode_tpu(cfg, params, feats, flens,
                                   mode="greedy_ctc")
     log(f"tpu greedy-CTC decode inverse-RTF: {greedy_rtf:.1f}")
 
     try:
         torch_inv_rtf = bench_torch_baseline(cfg, params)
-        log(f"torch-cpu reference-style beam inverse-RTF: {torch_inv_rtf:.2f}")
+        log(f"torch-cpu reference-style beam inverse-RTF ({TORCH_UTTS} utts,"
+            f" max_len={MAX_LEN}): {torch_inv_rtf:.2f}")
     except Exception as e:  # keep the bench robust
         log(f"torch baseline failed: {e!r}")
         torch_inv_rtf = float("nan")
@@ -146,6 +166,7 @@ def main():
     log(f"tpu hybrid train steps/sec (b={BATCH}, T={T_FRAMES}): "
         f"{steps_per_sec:.2f}")
 
+    lens = np.asarray(flens)
     vs = inv_rtf / torch_inv_rtf if torch_inv_rtf == torch_inv_rtf else 0.0
     print(json.dumps({
         "metric": "joint_beam_decode_inverse_rtf",
@@ -155,10 +176,17 @@ def main():
         "extras": {
             "train_steps_per_sec": round(steps_per_sec, 3),
             "train_batch": {"b": BATCH, "frames": T_FRAMES},
+            "joint_beam10_inverse_rtf": round(inv_rtf_b10, 2),
             "greedy_ctc_inverse_rtf": round(greedy_rtf, 2),
             "torch_cpu_inverse_rtf": (round(torch_inv_rtf, 2)
                                       if vs else None),
+            "torch_utts": TORCH_UTTS,
             "beam": BEAM, "max_len": MAX_LEN,
+            "utt_frames_hist": {
+                "deciles": [int(x) for x in np.percentile(
+                    lens, np.arange(0, 101, 10))],
+                "mean": round(float(lens.mean()), 1),
+            },
         },
     }))
 

@@ -71,3 +71,44 @@ def test_greedy_decode_matches_torch_twin(rng):
     torch_hyps = twin.greedy_ctc_decode(
         torch.tensor(feats), torch.tensor(fl.astype(np.int64)))
     assert jax_hyps == torch_hyps
+
+
+def test_torch_checkpoint_import_roundtrip(rng, tmp_path):
+    """flax -> twin -> reference-style .pth.tar -> flax again must be the
+    identity (torch_import is the SURVEY §7 'weight-import path from the
+    reference checkpoint format', exercised against the twin's
+    reference-shaped state_dict)."""
+    from tpu_asr.parity.torch_twin import TorchTransformer, import_flax_params
+    from tpu_asr.parity.torch_import import (load_torch_checkpoint,
+                                             torch_state_dict_to_flax)
+    feats, fl, targets, tl = make_batch(rng)
+    model = Transformer(CFG)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                        jnp.asarray(fl), jnp.asarray(targets),
+                        jnp.asarray(tl))
+    twin = TorchTransformer(CFG)
+    import_flax_params(twin, params)
+
+    # direct state_dict import: exact tree equality
+    back = torch_state_dict_to_flax(twin.state_dict(), CFG)
+    flat_a = jax.tree_util.tree_flatten_with_path(params["params"])[0]
+    flat_b = jax.tree_util.tree_flatten_with_path(back)[0]
+    assert [p for p, _ in flat_a] == [p for p, _ in flat_b]
+    for (path, a), (_, b) in zip(flat_a, flat_b):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6,
+                                   err_msg=str(path))
+
+    # reference-style serialized checkpoint (hyperparams + state_dict)
+    ckpt = tmp_path / "epoch1.pth.tar"
+    torch.save({"state_dict": twin.state_dict(), "epoch": 1,
+                "vocab_size": CFG.vocab_size, "d_model": CFG.d_model,
+                "d_inner": CFG.d_inner, "n_head": CFG.num_heads,
+                "n_layers_enc": CFG.num_enc_layers,
+                "n_layers_dec": CFG.num_dec_layers}, str(ckpt))
+    imported, cfg2 = load_torch_checkpoint(str(ckpt), CFG)
+    out_a = model.apply(params, jnp.asarray(feats), jnp.asarray(fl),
+                        jnp.asarray(targets), jnp.asarray(tl))
+    out_b = model.apply(imported, jnp.asarray(feats), jnp.asarray(fl),
+                        jnp.asarray(targets), jnp.asarray(tl))
+    np.testing.assert_allclose(float(out_a["loss"]), float(out_b["loss"]),
+                               rtol=1e-6)
