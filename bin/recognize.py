@@ -27,7 +27,12 @@ import numpy as np
 
 def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--ckpt", required=True, help="checkpoint dir")
+    p.add_argument("--ckpt", default="", help="checkpoint dir")
+    p.add_argument("--torch-ckpt", default="",
+                   help="decode a reference-style torch .pth.tar checkpoint "
+                        "(weights imported via tpu_asr.parity.torch_import); "
+                        "model hyperparams come from the checkpoint or from "
+                        "--ckpt's config sidecar when both are given")
     p.add_argument("--manifest", required=True)
     p.add_argument("--output", default="")
     p.add_argument("--mode", default="",
@@ -73,8 +78,17 @@ def main():
     from tpu_asr.train.checkpoints import Checkpointer
     from tpu_asr.utils.cer import cer
 
-    ck = Checkpointer(args.ckpt)
-    cfg = ck.load_config()
+    assert args.ckpt or args.torch_ckpt, "--ckpt or --torch-ckpt required"
+    torch_params = None
+    if args.torch_ckpt:
+        from tpu_asr.parity.torch_import import load_torch_checkpoint
+        sidecar_cfg = Checkpointer(args.ckpt).load_config() \
+            if args.ckpt else None
+        torch_params, cfg = load_torch_checkpoint(args.torch_ckpt,
+                                                  sidecar_cfg)
+    else:
+        ck = Checkpointer(args.ckpt)
+        cfg = ck.load_config()
     mode = args.mode or {
         "ctc": "greedy_ctc", "transformer": "beam", "hybrid": "joint",
         "cif": "cif_greedy"}[cfg.model_type]
@@ -104,18 +118,22 @@ def main():
     feats, flens = batch_features(b0, frontend)
     if cfg.input_layer == "linear":
         feats, flens = apply_lfr(feats, flens, (cfg.lfr_m, cfg.lfr_n))
-    variables = model.init(jax.random.PRNGKey(0), feats, flens,
-                           b0["targets"], b0["target_lengths"])
-    tx = make_optimizer(cfg.d_model)
-    state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(0))
-    if args.step >= 0:
-        step = args.step
-    elif args.restore == "latest":
-        step = ck.latest_step()
+    if torch_params is not None:
+        params = torch_params
     else:
-        step = ck.best_step()
-    state, _ = ck.restore(state, step=step)
-    params = {"params": state.params}
+        variables = model.init(jax.random.PRNGKey(0), feats, flens,
+                               b0["targets"], b0["target_lengths"])
+        tx = make_optimizer(cfg.d_model)
+        state = TrainState.create(variables["params"], tx,
+                                  jax.random.PRNGKey(0))
+        if args.step >= 0:
+            step = args.step
+        elif args.restore == "latest":
+            step = ck.latest_step()
+        else:
+            step = ck.best_step()
+        state, _ = ck.restore(state, step=step)
+        params = {"params": state.params}
 
     rec = Recognizer(cfg=cfg, params=params,
                      beam=BeamConfig(beam=args.beam, max_len=args.max_len,
@@ -156,7 +174,8 @@ def main():
 
     refs = {u.id: u.tokens for u in utts}
     have_refs = any(refs.values())
-    out_path = args.output or os.path.join(args.ckpt, "hyp.jsonl")
+    out_dir = args.ckpt or os.path.dirname(args.torch_ckpt) or "."
+    out_path = args.output or os.path.join(out_dir, "hyp.jsonl")
     with open(out_path, "w") as f:
         for uid, nb in results.items():
             rec_out = {"id": uid, "hyp_tokens": nb[0]["yseq"]}
