@@ -112,3 +112,26 @@ def test_torch_checkpoint_import_roundtrip(rng, tmp_path):
                         jnp.asarray(targets), jnp.asarray(tl))
     np.testing.assert_allclose(float(out_a["loss"]), float(out_b["loss"]),
                                rtol=1e-6)
+
+
+def test_asymmetric_conv_channels_parity(rng):
+    """Tuple conv_channels (conv1 != conv2) round-trips through the twin
+    and matches losses (the flagship aishell preset uses (32, 128))."""
+    import dataclasses
+    from tpu_asr.parity.torch_twin import TorchTransformer, import_flax_params
+    cfg = dataclasses.replace(CFG, conv_channels=(4, 8))
+    feats, fl, targets, tl = make_batch(rng)
+    model = Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                        jnp.asarray(fl), jnp.asarray(targets),
+                        jnp.asarray(tl))
+    out_jax = model.apply(params, jnp.asarray(feats), jnp.asarray(fl),
+                          jnp.asarray(targets), jnp.asarray(tl))
+    twin = TorchTransformer(cfg)
+    import_flax_params(twin, params)
+    twin.eval()
+    out_t = twin.loss(torch.tensor(feats), torch.tensor(fl.astype(np.int64)),
+                      torch.tensor(targets.astype(np.int64)),
+                      torch.tensor(tl.astype(np.int64)))
+    np.testing.assert_allclose(float(out_jax["loss"]), float(out_t["loss"]),
+                               rtol=2e-4)

@@ -88,10 +88,13 @@ PRESETS: dict[str, TrainConfig] = {
                                   cif_quantity_weight=1.0),
         decode_mode="cif_greedy",
         beam=BeamConfig(beam=1, max_len=100)),
-    # 5: full-scale AISHELL training recipe (config #5)
+    # 5: full-scale AISHELL training recipe (config #5). conv_channels
+    # (32, 128): ~18% faster train step than symmetric 256 on v5e (the
+    # front-end's per-op-trace share drops ~3.5ms -> ~1ms at b=32xT=1000).
     "aishell": TrainConfig(
         model=dataclasses.replace(_BASE, model_type="hybrid",
                                   ctc_weight=0.3, dtype=jnp.bfloat16,
+                                  conv_channels=(32, 128),
                                   pallas_ctc=True),
         epochs=80, batch_frames=32000, num_buckets=6,
         specaug=SpecAugmentConfig(),

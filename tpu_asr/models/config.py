@@ -25,7 +25,9 @@ class ModelConfig:
     dropout: float = 0.1
     pe_maxlen: int = 5000
     input_layer: str = "conv2d"       # conv2d (4x subsample) | linear (use LFR)
-    conv_channels: int = 256          # conv2d front-end channels
+    conv_channels: int | tuple = 256  # conv2d front-end channels (int, or
+    #                                   (conv1, conv2) to grow channels as
+    #                                   time/freq resolution shrinks)
     lfr_m: int = 4                    # only used with input_layer == linear
     lfr_n: int = 3
     tie_embedding: bool = True        # share decoder embedding + output proj

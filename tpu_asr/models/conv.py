@@ -14,19 +14,21 @@ from flax import linen as nn
 
 class Conv2dSubsampling(nn.Module):
     d_model: int
-    channels: int = 256
+    channels: int | tuple[int, int] = 256   # int, or (conv1, conv2) channels
     dtype: jnp.dtype = jnp.float32
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
     def __call__(self, feats: jnp.ndarray, feat_lengths: jnp.ndarray):
         """[B, T, D] + [B] -> ([B, T', d_model], [B] subsampled lengths)."""
+        c1, c2 = (self.channels if isinstance(self.channels, (tuple, list))
+                  else (self.channels, self.channels))
         x = feats[..., None]  # [B, T, D, 1]
-        x = nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="VALID",
+        x = nn.Conv(c1, (3, 3), strides=(2, 2), padding="VALID",
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv1")(x)
         x = nn.relu(x)
-        x = nn.Conv(self.channels, (3, 3), strides=(2, 2), padding="VALID",
+        x = nn.Conv(c2, (3, 3), strides=(2, 2), padding="VALID",
                     dtype=self.dtype, param_dtype=self.param_dtype,
                     name="conv2")(x)
         x = nn.relu(x)

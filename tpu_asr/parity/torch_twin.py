@@ -94,15 +94,17 @@ class TorchDecoderLayer(nn.Module):
 
 
 class TorchConvSubsample(nn.Module):
-    def __init__(self, cfg: ModelConfig, channels: int | None = None):
+    def __init__(self, cfg: ModelConfig, channels=None):
         super().__init__()
         channels = cfg.conv_channels if channels is None else channels
-        self.conv1 = nn.Conv2d(1, channels, 3, stride=2)
-        self.conv2 = nn.Conv2d(channels, channels, 3, stride=2)
+        c1, c2 = (channels if isinstance(channels, (tuple, list))
+                  else (channels, channels))
+        self.conv1 = nn.Conv2d(1, c1, 3, stride=2)
+        self.conv2 = nn.Conv2d(c1, c2, 3, stride=2)
         f = cfg.d_input
         f = (f - 1) // 2
         f = (f - 1) // 2
-        self.out = nn.Linear(f * channels, cfg.d_model)
+        self.out = nn.Linear(f * c2, cfg.d_model)
 
     def forward(self, feats, feat_lengths):
         x = feats.unsqueeze(1)                       # [B,1,T,D]
