@@ -41,16 +41,32 @@ def gather_emissions(log_probs: jnp.ndarray, z: jnp.ndarray) -> jnp.ndarray:
                       precision=jax.lax.Precision.HIGHEST)
 
 
+def lattice_emissions(logits: jnp.ndarray, z: jnp.ndarray,
+                      log_input: bool) -> jnp.ndarray:
+    """E[b,t,s] = log_softmax(logits)[b,t,z_s] WITHOUT materializing the
+    full [B,T,V] log-prob tensor: gather the raw logits for the S lattice
+    symbols (one-hot MXU einsum) and subtract the per-frame logsumexp (a
+    fused reduce). For d512/V=4233 the avoided f32 [B,T,V] round-trip is
+    ~270MB of HBM traffic per step."""
+    if log_input:
+        return gather_emissions(logits.astype(jnp.float32), z)
+    gathered = gather_emissions(logits, z).astype(jnp.float32)
+    lse = jax.nn.logsumexp(logits.astype(jnp.float32), axis=-1)
+    return gathered - lse[:, :, None]
+
+
 def ctc_forward_alphas(
     log_probs: jnp.ndarray,
     labels: jnp.ndarray,
     logit_lengths: jnp.ndarray,
     label_lengths: jnp.ndarray,
     blank: int = 0,
+    log_input: bool = True,
 ):
     """Run the alpha recursion; returns (final per-utt neg-log-like [B]).
 
-    log_probs: [B, T, V] log-softmaxed.
+    log_probs: [B, T, V] log-softmaxed (or raw logits with
+    log_input=False — normalized on the fly via lattice_emissions).
     """
     b, t, v = log_probs.shape
     u = labels.shape[1]
@@ -69,7 +85,7 @@ def ctc_forward_alphas(
     # E [B, T, S] is ~30x smaller than log_probs for char vocabs, so the
     # sequential scan only touches small arrays (same trick feeds the
     # Pallas kernel).
-    emissions = gather_emissions(log_probs, z)                   # [B, T, S]
+    emissions = lattice_emissions(log_probs, z, log_input)       # [B, T, S]
 
     alpha0 = jnp.full((b, s), NEG_INF)
     emit0 = emissions[:, 0]
@@ -120,9 +136,8 @@ def ctc_loss(
     per-utt NLLs; 'sum' and 'none' as usual. Infeasible utterances
     (logit_len < label span) get 0 loss, like zero_infinity=True.
     """
-    logp = logits if log_input else jax.nn.log_softmax(
-        logits.astype(jnp.float32), axis=-1)
-    nll = ctc_forward_alphas(logp, labels, logit_lengths, label_lengths, blank)
+    nll = ctc_forward_alphas(logits, labels, logit_lengths,
+                             label_lengths, blank, log_input=log_input)
     # zero_infinity: repeats need a blank between them; min span check.
     feasible = logit_lengths >= label_lengths
     nll = jnp.where(feasible & (nll < -NEG_INF / 2), nll, 0.0)

@@ -29,7 +29,22 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-B_TILE = 8
+B_TILE = 8          # minimum tile (sublane multiple)
+VMEM_BUDGET = 8 * 1024 * 1024   # bytes for the 2-3 [B_TILE, T, S] streams
+
+
+def _pick_b_tile(b, t, s_pad):
+    """Widest batch tile whose [tile, T, S] f32 streams (emissions + alpha
+    history + grad, double-buffered by the pipeline) fit the VMEM budget.
+    Wider tiles mean fewer serial grid programs: the lattice recursion is
+    latency-bound, so halving the grid nearly halves the kernel time."""
+    tile = B_TILE
+    while tile < 32 and tile < b * 2:
+        nxt = tile * 2
+        if 3 * nxt * t * s_pad * 4 > VMEM_BUDGET:
+            break
+        tile = nxt
+    return tile
 
 
 def _round_up(x, m):
@@ -158,8 +173,10 @@ def _bwd_kernel(emit_ref, skip_ref, valid_ref, ilen_ref, llen_ref,
                       jnp.full((b, s), NEG_INF))
 
 
-def _pallas_ctc_fwd(emissions, skip_f, valid_f, ilens, llens, interpret):
+def _pallas_ctc_fwd(emissions, skip_f, valid_f, ilens, llens, interpret,
+                    b_tile):
     b, t, s = emissions.shape
+    B_TILE = b_tile
     grid = (b // B_TILE,)
     kernel = pl.pallas_call(
         _fwd_kernel,
@@ -192,8 +209,9 @@ def _pallas_ctc_fwd(emissions, skip_f, valid_f, ilens, llens, interpret):
 
 
 def _pallas_ctc_bwd(emissions, skip_f, valid_f, ilens, llens, alphas, nll,
-                    interpret):
+                    interpret, b_tile):
     b, t, s = emissions.shape
+    B_TILE = b_tile
     grid = (b // B_TILE,)
     kernel = pl.pallas_call(
         _bwd_kernel,
@@ -224,24 +242,24 @@ def _pallas_ctc_bwd(emissions, skip_f, valid_f, ilens, llens, alphas, nll,
     return kernel(emissions, skip_f, valid_f, ilens, llens, alphas, nll)[0]
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5,))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
 def ctc_nll_from_emissions(emissions, skip_f, valid_f, ilens, llens,
-                           interpret=False):
+                           interpret=False, b_tile=B_TILE):
     nll, _ = _pallas_ctc_fwd(emissions, skip_f, valid_f, ilens, llens,
-                             interpret)
+                             interpret, b_tile)
     return nll[:, 0]
 
 
-def _vjp_fwd(emissions, skip_f, valid_f, ilens, llens, interpret):
+def _vjp_fwd(emissions, skip_f, valid_f, ilens, llens, interpret, b_tile):
     nll, alphas = _pallas_ctc_fwd(emissions, skip_f, valid_f, ilens, llens,
-                                  interpret)
+                                  interpret, b_tile)
     return nll[:, 0], (emissions, skip_f, valid_f, ilens, llens, alphas, nll)
 
 
-def _vjp_bwd(interpret, res, g):
+def _vjp_bwd(interpret, b_tile, res, g):
     emissions, skip_f, valid_f, ilens, llens, alphas, nll = res
     grad_e = _pallas_ctc_bwd(emissions, skip_f, valid_f, ilens, llens,
-                             alphas, nll, interpret)
+                             alphas, nll, interpret, b_tile)
     grad_e = grad_e * g[:, None, None]
     zeros = jnp.zeros_like
     return (grad_e, zeros(skip_f), zeros(valid_f), None, None)
@@ -267,13 +285,12 @@ def ctc_loss_pallas(
     u = labels.shape[1]
     s = 2 * u + 1
     s_pad = _round_up(s, 128)
-    b_pad = _round_up(b, B_TILE)
+    b_tile = _pick_b_tile(b, t, s_pad)
+    b_pad = _round_up(b, b_tile)
 
-    from tpu_asr.ops.ctc import gather_emissions
-    logp = logits if log_input else jax.nn.log_softmax(
-        logits.astype(jnp.float32), axis=-1)
+    from tpu_asr.ops.ctc import lattice_emissions
     z = jnp.full((b, s), blank, labels.dtype).at[:, 1::2].set(labels)
-    emissions = gather_emissions(logp, z)                # [B, T, S]
+    emissions = lattice_emissions(logits, z, log_input)  # [B, T, S]
 
     z_shift2 = jnp.concatenate(
         [jnp.full((b, 2), blank, z.dtype), z[:, :-2]], axis=1)
@@ -298,7 +315,7 @@ def ctc_loss_pallas(
     llens_p = pad(label_lengths.astype(jnp.int32)[:, None], 0)
 
     nll = ctc_nll_from_emissions(emissions_p, skip_f, valid_f, ilens_p,
-                                 llens_p, interpret)[:b]
+                                 llens_p, interpret, b_tile)[:b]
 
     feasible = logit_lengths >= label_lengths
     nll = jnp.where(feasible & (nll < -NEG_INF / 2), nll, 0.0)
