@@ -64,8 +64,12 @@ def build():
     # measured 45.3 -> 54.4 train steps/s vs the symmetric 256-ch front-end
     # at b=32xT=1000 bf16 on v5e, with the front-end's ~3.5ms share cut to
     # ~1ms (per-op trace r2).
+    # pallas_ctc (as in the aishell preset): the fwd-bwd lattice kernel
+    # replaces the 250-iteration XLA scan; per-op trace r2 shows device
+    # time 18.2 -> 16.5 ms/step (54.9 -> 57.2 steps/s measured).
     cfg = ModelConfig(vocab_size=4233, model_type="hybrid", ctc_weight=0.3,
-                      dtype=jnp.bfloat16, conv_channels=(32, 128))
+                      dtype=jnp.bfloat16, conv_channels=(32, 128),
+                      pallas_ctc=True)
     model = Transformer(cfg)
     rng = np.random.default_rng(0)
     feats = jnp.asarray(
