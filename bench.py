@@ -151,6 +151,23 @@ def bench_train_tpu(cfg, model, params, batch_arrays):
     return n / wall
 
 
+def bench_train_cif(batch_arrays):
+    """CIF train steps/s (north-star phrasing is "CTC+CIF training
+    steps/sec"): aishell-scale CIF model (ctc aux 0.5 + quantity loss),
+    same b=32 x 1000-frame batch as the hybrid bench."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from tpu_asr.models import CifModel, ModelConfig
+    feats, flens, targets, tlens = batch_arrays
+    cfg = ModelConfig(vocab_size=4233, model_type="cif", ctc_weight=0.5,
+                      cif_quantity_weight=1.0, dtype=jnp.bfloat16,
+                      conv_channels=(32, 128), pallas_ctc=True)
+    model = CifModel(cfg)
+    params = model.init(jax.random.PRNGKey(0), feats, flens, targets, tlens)
+    return bench_train_tpu(cfg, model, params, batch_arrays)
+
+
 def bench_torch_baseline(cfg, params):
     """Reference-style host-driven beam decode (PyTorch CPU), 8 utterances
     from the same length distribution at the same max_len as the TPU path."""
@@ -202,6 +219,14 @@ def main():
         log(f"torch baseline failed: {e!r}")
         torch_inv_rtf = float("nan")
 
+    try:
+        cif_steps_per_sec = bench_train_cif(batch_arrays)
+        log(f"tpu CIF train steps/sec (b={BATCH}, T={T_FRAMES}): "
+            f"{cif_steps_per_sec:.2f}")
+    except Exception as e:
+        log(f"cif train bench failed: {e!r}")
+        cif_steps_per_sec = None
+
     # train bench donates params — must run last
     steps_per_sec = bench_train_tpu(cfg, model, params, batch_arrays)
     log(f"tpu hybrid train steps/sec (b={BATCH}, T={T_FRAMES}): "
@@ -216,6 +241,8 @@ def main():
         "vs_baseline": round(vs, 2),
         "extras": {
             "train_steps_per_sec": round(steps_per_sec, 3),
+            "cif_train_steps_per_sec": (round(cif_steps_per_sec, 3)
+                                        if cif_steps_per_sec else None),
             "train_batch": {"b": BATCH, "frames": T_FRAMES},
             "joint_beam10_inverse_rtf": round(inv_rtf_b10, 2),
             "greedy_ctc_inverse_rtf": round(greedy_rtf, 2),
