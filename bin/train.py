@@ -51,6 +51,12 @@ def parse_args():
     p.add_argument("--profile-dir", default="",
                    help="write a jax.profiler trace of steps 10-15")
     p.add_argument("--debug-nans", action="store_true")
+    p.add_argument("--enc-chunk-size", type=int, default=-1,
+                   help="post-subsample frames per encoder chunk "
+                        "(chunk-masked streaming training; preset default "
+                        "if unset, 0 = full context)")
+    p.add_argument("--enc-left-chunks", type=int, default=-2,
+                   help="bounded left context in chunks (-1 = unlimited)")
     p.add_argument("--prng-impl", default="rbg",
                    help="PRNG for dropout/specaug; rbg is ~1.5x faster "
                         "train steps on TPU than threefry")
@@ -82,6 +88,10 @@ def main():
         vocab_size = args.vocab_size
 
     overrides = {"vocab_size": vocab_size}
+    if args.enc_chunk_size >= 0:
+        overrides["enc_chunk_size"] = args.enc_chunk_size
+    if args.enc_left_chunks >= -1:
+        overrides["enc_left_chunks"] = args.enc_left_chunks
     mc = dataclasses.replace(tc.model, **overrides)
     if args.epochs:
         tc = dataclasses.replace(tc, epochs=args.epochs)

@@ -1,0 +1,125 @@
+"""Streaming CTC over the chunk-masked encoder: exact offline-equality,
+segmentation-invariance, and causality (future frames cannot change
+already-final encoder outputs)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpu_asr.decode.recognizer import Recognizer
+from tpu_asr.decode.streaming import StreamingCTCRecognizer
+from tpu_asr.models import ModelConfig, Transformer
+
+CHUNK = 4  # post-subsample frames per streaming chunk
+
+CFG = ModelConfig(vocab_size=12, d_input=80, d_model=32, d_inner=64,
+                  num_heads=2, num_enc_layers=2, num_dec_layers=1,
+                  dropout=0.0, model_type="ctc", enc_chunk_size=CHUNK)
+
+
+def _model_and_params(cfg=CFG, seed=0):
+    model = Transformer(cfg)
+    feats = jnp.zeros((1, 80, cfg.d_input), jnp.float32)
+    flens = jnp.full((1,), 80, jnp.int32)
+    ys = jnp.zeros((1, 4), jnp.int32)
+    ylens = jnp.full((1,), 4, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(seed), feats, flens, ys, ylens)
+    return model, variables
+
+
+def _random_feats(t, seed=3):
+    rng = np.random.default_rng(seed)
+    # scale up so argmax ids vary and repeats/blanks occur
+    return (rng.standard_normal((t, CFG.d_input)) * 3).astype(np.float32)
+
+
+def test_streaming_equals_offline():
+    _, params = _model_and_params()
+    t = 173
+    feats = _random_feats(t)
+
+    offline = Recognizer(cfg=CFG, params=params, mode="greedy_ctc")
+    ref = offline.decode_batch({
+        "feats": feats[None], "feat_lengths": np.asarray([t], np.int32)})[0]
+
+    rec = StreamingCTCRecognizer(CFG, params, max_frames=256)
+    streamed = []
+    pos = 0
+    for sz in (7, 40, 13, 64, 1, 29, 100):     # ragged feed sizes
+        take = min(sz, t - pos)
+        if take == 0:
+            break
+        streamed.extend(rec.push(feats[pos:pos + take]))
+        pos += take
+    hyp = rec.finish()
+    assert streamed == hyp[: len(streamed)]    # finish only appends
+    assert hyp == ref
+
+
+def test_segmentation_invariance():
+    _, params = _model_and_params(seed=1)
+    t = 150
+    feats = _random_feats(t, seed=5)
+    hyps = []
+    for sizes in ((t,), (10,) * 15, (33, 33, 33, 33, 18)):
+        rec = StreamingCTCRecognizer(CFG, params, max_frames=160)
+        pos = 0
+        for sz in sizes:
+            rec.push(feats[pos:pos + sz])
+            pos += sz
+        hyps.append(rec.finish())
+    assert hyps[0] == hyps[1] == hyps[2]
+
+
+def test_final_chunks_emitted_before_finish():
+    """Long stream: tokens must flow DURING the stream, not only at
+    finish (bounded latency is the point of streaming)."""
+    _, params = _model_and_params(seed=2)
+    feats = _random_feats(200, seed=7)
+    rec = StreamingCTCRecognizer(CFG, params, max_frames=256)
+    mid = []
+    for pos in range(0, 200, 20):
+        mid.extend(rec.push(feats[pos:pos + 20]))
+    assert len(mid) > 0
+    assert rec._emitted_enc > 0
+
+
+def test_causality_future_frames_do_not_change_final_outputs():
+    """Offline encode with/without corrupted future frames: encoder
+    outputs of complete chunks before the corruption are bitwise equal."""
+    model, params = _model_and_params(seed=4)
+    t = 160
+    feats = _random_feats(t, seed=9)
+    n_seen = 100                       # frames "received so far"
+    el_seen = int(CFG.subsampled_length(n_seen))
+    final = (el_seen // CHUNK) * CHUNK  # enc frames that must be final
+
+    def encode(f):
+        enc, el = model.apply(params, jnp.asarray(f[None]),
+                              jnp.asarray([t], jnp.int32),
+                              method=Transformer.encode)
+        return np.asarray(enc[0])
+
+    corrupted = feats.copy()
+    corrupted[n_seen:] += 37.0
+    a, b = encode(feats), encode(corrupted)
+    assert final > 0
+    np.testing.assert_array_equal(a[:final], b[:final])
+    # sanity: the corruption does change later frames
+    assert not np.array_equal(a[final:], b[final:])
+
+
+def test_full_context_model_defers_to_finish():
+    cfg = ModelConfig(vocab_size=12, d_input=80, d_model=32, d_inner=64,
+                      num_heads=2, num_enc_layers=1, num_dec_layers=1,
+                      dropout=0.0, model_type="ctc")   # enc_chunk_size=0
+    _, params = _model_and_params(cfg, seed=6)
+    feats = _random_feats(120, seed=11)
+    rec = StreamingCTCRecognizer(cfg, params, max_frames=128)
+    assert rec.push(feats) == []       # nothing final until finish
+    offline = Recognizer(cfg=cfg, params=params, mode="greedy_ctc")
+    ref = offline.decode_batch({
+        "feats": feats[None],
+        "feat_lengths": np.asarray([120], np.int32)})[0]
+    assert rec.finish() == ref

@@ -88,6 +88,15 @@ PRESETS: dict[str, TrainConfig] = {
                                   cif_quantity_weight=1.0),
         decode_mode="cif_greedy",
         beam=BeamConfig(beam=1, max_len=100)),
+    # streaming (beyond the reference): chunk-masked CTC encoder —
+    # 16 post-subsample frames/chunk = 0.64 s emission latency; decode
+    # offline (greedy_ctc) or incrementally via
+    # tpu_asr.decode.streaming.StreamingCTCRecognizer / bin/stream_demo.py
+    "streaming": TrainConfig(
+        model=dataclasses.replace(_BASE, model_type="ctc",
+                                  enc_chunk_size=16),
+        decode_mode="greedy_ctc",
+        beam=BeamConfig(beam=1, max_len=100)),
     # 5: full-scale AISHELL training recipe (config #5). conv_channels
     # (32, 128): ~18% faster train step than symmetric 256 on v5e (the
     # front-end's per-op-trace share drops ~3.5ms -> ~1ms at b=32xT=1000).

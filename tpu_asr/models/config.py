@@ -37,6 +37,16 @@ class ModelConfig:
     cif_quantity_weight: float = 1.0  # CIF quantity-loss scale
     cif_tail_threshold: float = 0.5
     label_smoothing: float = 0.1
+    # Streaming (beyond the reference, which is offline-only): chunked
+    # encoder self-attention a la chunk-masked streaming transformers.
+    # enc_chunk_size > 0 restricts each post-subsample frame to attend
+    # within its chunk plus enc_left_chunks previous chunks (-1 =
+    # unlimited left context). Train with these set, then decode either
+    # offline (same mask; recognize.py unchanged) or incrementally via
+    # tpu_asr.decode.streaming.StreamingCTCRecognizer with exact
+    # offline-equality per complete chunk.
+    enc_chunk_size: int = 0
+    enc_left_chunks: int = -1
     # numerics
     dtype: jnp.dtype = jnp.float32    # compute dtype (bfloat16 on TPU)
     param_dtype: jnp.dtype = jnp.float32

@@ -88,7 +88,19 @@ class Encoder(nn.Module):
         x = self.dropout(self.pe(x), deterministic=deterministic)
         t = x.shape[1]
         valid = make_valid_mask(out_lengths, t)                 # [B, T']
-        bias = mask_to_bias(valid[:, None, None, :], c.dtype)   # [B,1,1,T']
+        if c.enc_chunk_size > 0:
+            # streaming chunk mask: frame q attends to frames in chunks
+            # <= chunk(q) (and >= chunk(q) - enc_left_chunks when left
+            # context is bounded) — identical at train and decode time, so
+            # incremental decoding reproduces offline outputs exactly.
+            cid = jnp.arange(t) // c.enc_chunk_size
+            allow = cid[:, None] >= cid[None, :]                # [T', T']
+            if c.enc_left_chunks >= 0:
+                allow &= (cid[:, None] - cid[None, :]) <= c.enc_left_chunks
+            mask = valid[:, None, None, :] & allow[None, None]  # [B,1,T',T']
+            bias = mask_to_bias(mask, c.dtype)
+        else:
+            bias = mask_to_bias(valid[:, None, None, :], c.dtype)  # [B,1,1,T']
         for layer in self.layers:
             x = layer(x, bias, deterministic=deterministic)
         x = jnp.where(valid[..., None], x, 0.0)
