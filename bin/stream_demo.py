@@ -58,9 +58,10 @@ def main():
     import jax.numpy as jnp
 
     from tpu_asr.data import load_manifest
-    from tpu_asr.decode.streaming import StreamingCTCRecognizer
+    from tpu_asr.decode.streaming import (StreamingCIFRecognizer,
+                                          StreamingCTCRecognizer)
     from tpu_asr.frontend import FrontendConfig, wav_to_features
-    from tpu_asr.models import Transformer
+    from tpu_asr.models import CifModel, Transformer
     from tpu_asr.train import TrainState, make_optimizer
     from tpu_asr.train.checkpoints import Checkpointer
     from tpu_asr.utils.cer import cer
@@ -71,13 +72,14 @@ def main():
         print("note: full-context model (enc_chunk_size=0) — tokens only "
               "appear at end-of-stream; train with --enc-chunk-size for "
               "real streaming", file=sys.stderr)
+    is_cif = cfg.model_type == "cif"
 
     utts = load_manifest(args.manifest)
     if args.limit:
         utts = utts[: args.limit]
 
     # restore params (recognize.py pattern)
-    model = Transformer(cfg)
+    model = (CifModel if is_cif else Transformer)(cfg)
     dummy_t = 80
     feats0 = jnp.zeros((1, dummy_t, cfg.d_input), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), feats0,
@@ -103,8 +105,9 @@ def main():
         else:
             from tpu_asr.data.kaldi_io import read_mat
             feats = np.asarray(read_mat(utt.feat))
-        rec = StreamingCTCRecognizer(cfg, params,
-                                     max_frames=args.max_frames)
+        rec_cls = StreamingCIFRecognizer if is_cif \
+            else StreamingCTCRecognizer
+        rec = rec_cls(cfg, params, max_frames=args.max_frames)
         hyp_parts = []
         t0 = time.time()
         for pos in range(0, len(feats), args.chunk_frames):
@@ -112,8 +115,10 @@ def main():
             if new:
                 # emission lag: audio front minus last final enc frame,
                 # in input frames (10 ms each)
+                done_enc = getattr(rec, "_emitted_enc",
+                                   getattr(rec, "_alpha_done", 0))
                 lags.append(min(pos + args.chunk_frames, len(feats))
-                            - rec._emitted_enc * 4)
+                            - done_enc * 4)
                 hyp_parts.append((pos + args.chunk_frames, new))
                 if not args.quiet:
                     print(f"  [{(pos + args.chunk_frames) / 100:6.2f}s] "

@@ -110,6 +110,68 @@ def test_causality_future_frames_do_not_change_final_outputs():
     assert not np.array_equal(a[final:], b[final:])
 
 
+CIF_CFG = ModelConfig(vocab_size=12, d_input=80, d_model=32, d_inner=64,
+                      num_heads=2, num_enc_layers=2, num_dec_layers=1,
+                      dropout=0.0, model_type="cif", ctc_weight=0.0,
+                      enc_chunk_size=CHUNK)
+
+
+def _cif_params(seed=0):
+    from tpu_asr.models import CifModel
+    model = CifModel(CIF_CFG)
+    feats = jnp.zeros((1, 80, CIF_CFG.d_input), jnp.float32)
+    variables = model.init(jax.random.PRNGKey(seed), feats,
+                           jnp.full((1,), 80, jnp.int32),
+                           jnp.zeros((1, 4), jnp.int32),
+                           jnp.full((1,), 4, jnp.int32))
+    return model, variables
+
+
+def test_cif_streaming_segmentation_invariance():
+    from tpu_asr.decode.streaming import StreamingCIFRecognizer
+    _, params = _cif_params(seed=4)   # seed 3 emits eos on the 1st fire
+    t = 170
+    feats = _random_feats(t, seed=13)
+    hyps, emitted_mid = [], []
+    for sizes in ((t,), (11,) * 16, (60, 60, 50)):
+        rec = StreamingCIFRecognizer(CIF_CFG, params, max_frames=192)
+        pos, mid = 0, []
+        for sz in sizes:
+            mid.extend(rec.push(feats[pos:pos + sz]))
+            pos += sz
+        hyp = rec.finish()
+        assert mid == hyp[: len(mid)]      # finish only appends
+        hyps.append(hyp)
+        emitted_mid.append(len(mid))
+    assert hyps[0] == hyps[1] == hyps[2]
+    assert emitted_mid[1] > 0              # tokens flow during the stream
+
+
+def test_cif_streaming_fire_count_matches_ops_oracle():
+    """Number of decoder steps == the independent unscaled fire count
+    (ops.cif.fire_count on the full utterance's alphas)."""
+    from tpu_asr.decode.streaming import StreamingCIFRecognizer
+    from tpu_asr.models.cif import CifModel
+    from tpu_asr.ops.cif import fire_count
+    model, params = _cif_params(seed=8)
+    t = 140
+    feats = _random_feats(t, seed=17)
+    rec = StreamingCIFRecognizer(CIF_CFG, params, max_frames=160)
+    for pos in range(0, t, 23):
+        rec.push(feats[pos:pos + 23])
+    rec.finish()
+
+    _, el, alphas, valid = model.apply(
+        params, jnp.asarray(feats[None]), jnp.asarray([t], jnp.int32),
+        method=CifModel.encode)
+    expect = int(fire_count(alphas, valid,
+                            CIF_CFG.cif_tail_threshold)[0])
+    if rec._saw_eos:
+        assert rec._pos <= expect
+    else:
+        assert rec._pos == expect
+
+
 def test_full_context_model_defers_to_finish():
     cfg = ModelConfig(vocab_size=12, d_input=80, d_model=32, d_inner=64,
                       num_heads=2, num_enc_layers=1, num_dec_layers=1,

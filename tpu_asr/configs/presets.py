@@ -82,6 +82,15 @@ PRESETS: dict[str, TrainConfig] = {
                                   ctc_weight=0.3),
         decode_mode="joint",
         beam=BeamConfig(beam=5, max_len=100, ctc_weight=0.3)),
+    # 4a: CPU-runnable CIF slice (CLI e2e / streaming demos)
+    "cif_dev": TrainConfig(
+        model=dataclasses.replace(
+            _BASE, model_type="cif", ctc_weight=0.5,
+            cif_quantity_weight=1.0, d_model=64, d_inner=128, num_heads=2,
+            num_enc_layers=2, num_dec_layers=2, dropout=0.0),
+        epochs=30, warmup_steps=100, lr_k=1.0, batch_frames=8000,
+        num_buckets=2, decode_mode="cif_greedy",
+        beam=BeamConfig(beam=1, max_len=24)),
     # 4: CIF (config #4)
     "cif": TrainConfig(
         model=dataclasses.replace(_BASE, model_type="cif", ctc_weight=0.5,

@@ -122,3 +122,145 @@ class StreamingCTCRecognizer:
     @property
     def hypothesis(self) -> list[int]:
         return list(self._tokens)
+
+
+@dataclasses.dataclass(eq=False)
+class StreamingCIFRecognizer:
+    """Incremental CIF recognition: token-synchronous integrate-and-fire.
+
+    CIF's native streaming mode (Dong & Xu, arXiv:1905.11235 §online):
+    alphas accumulate frame-by-frame; each time the integral crosses 1.0
+    the integrated embedding fires and the causal decoder emits one token.
+    Firing uses UNSCALED alphas (the reference's inference behavior —
+    scaling needs the full utterance) with tail rounding at end-of-stream
+    (residual >= cif_tail_threshold fires once more).
+
+    Finality bookkeeping: the assigner's width-3 SAME conv gives alpha_j a
+    one-frame lookahead, so with chunk mask granularity C the final alphas
+    after n frames are indices < (el(n)//C)*C - 1. The incremental result
+    is therefore segmentation-invariant and equal to running the same
+    sequential fire over the full utterance's encoder outputs (tested).
+
+    One jitted encoder program (fixed [1, max_frames] shape) + one jitted
+    decoder step serve the whole stream.
+    """
+
+    cfg: ModelConfig
+    params: dict
+    max_frames: int = 2000
+    max_tokens: int = 200
+
+    def __post_init__(self):
+        from tpu_asr.models.cif import CifDecoder, CifModel
+        assert self.cfg.model_type == "cif", \
+            f"StreamingCIFRecognizer needs model_type=cif " \
+            f"(got {self.cfg.model_type})"
+        assert self.cfg.input_layer == "conv2d", \
+            "streaming supports the conv2d front-end"
+        self.model = CifModel(self.cfg)
+        self._dec = CifDecoder(self.cfg)
+        self._dec_params = {"params": self.params["params"]["decoder"]}
+        self._buf = np.zeros((1, self.max_frames, self.cfg.d_input),
+                             np.float32)
+        self._n = 0
+        self._alpha_done = 0          # alpha frames already integrated
+        self._accum = 0.0             # integrate-and-fire carry
+        self._acc_vec = np.zeros(self.cfg.d_model, np.float32)
+        self._cache = self._dec.apply(
+            self._dec_params, 1, self.max_tokens,
+            method=type(self._dec).init_cache)
+        self._pos = 0
+        self._prev = self.cfg.vocab_size - 2       # <sos>
+        self._eos = self.cfg.vocab_size - 1
+        self._saw_eos = False
+        self._tokens: list[int] = []
+        self._finished = False
+
+    @partial(jax.jit, static_argnums=0)
+    def _encode_alphas(self, params, feats, n_frames):
+        from tpu_asr.models.cif import CifModel
+        flens = jnp.full((1,), n_frames, jnp.int32)
+        enc_out, el, alphas, _ = self.model.apply(
+            params, feats, flens, method=CifModel.encode)
+        return enc_out[0].astype(jnp.float32), alphas[0], el[0]
+
+    @partial(jax.jit, static_argnums=0)
+    def _dec_step(self, y_prev, fired_t, pos, cache):
+        from tpu_asr.models.cif import CifDecoder
+        logits, cache = self._dec.apply(
+            self._dec_params, y_prev, fired_t, pos, cache,
+            method=CifDecoder.step)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    def _enc_len(self, n: int) -> int:
+        return max(int(self.cfg.subsampled_length(n)), 0)
+
+    def _final_alpha_frames(self, n: int) -> int:
+        chunk = self.cfg.enc_chunk_size
+        if chunk <= 0:
+            return 0
+        final_enc = (self._enc_len(n) // chunk) * chunk
+        return max(final_enc - 1, 0)   # assigner conv: 1-frame lookahead
+
+    def _emit_token(self, fired_vec: np.ndarray) -> int | None:
+        if self._saw_eos or self._pos >= self.max_tokens:
+            return None
+        tok, self._cache = self._dec_step(
+            jnp.asarray([self._prev], jnp.int32),
+            jnp.asarray(fired_vec[None]), self._pos, self._cache)
+        tok = int(tok[0])
+        self._prev = tok
+        self._pos += 1
+        if tok == self._eos:
+            self._saw_eos = True
+            return None
+        self._tokens.append(tok)
+        return tok
+
+    def _integrate(self, upto: int) -> list[int]:
+        """Sequential accumulate-and-fire over alpha frames
+        [_alpha_done, upto); returns newly emitted tokens."""
+        if upto <= self._alpha_done:
+            return []
+        enc, alphas, _ = self._encode_alphas(
+            self.params, jnp.asarray(self._buf), self._n)
+        enc = np.asarray(enc[self._alpha_done:upto])
+        alphas = np.asarray(alphas[self._alpha_done:upto], np.float64)
+        out = []
+        for a, h in zip(alphas, enc):
+            if self._accum + a < 1.0:
+                self._accum += a
+                self._acc_vec += a * h
+            else:
+                a1 = 1.0 - self._accum
+                tok = self._emit_token(self._acc_vec + a1 * h)
+                if tok is not None:
+                    out.append(tok)
+                rest = a - a1
+                self._accum = rest
+                self._acc_vec = rest * h
+        self._alpha_done = upto
+        return out
+
+    def push(self, frames: np.ndarray) -> list[int]:
+        """Append [t, D] feature frames; return newly emitted token ids."""
+        assert not self._finished, "push() after finish()"
+        t = frames.shape[0]
+        assert self._n + t <= self.max_frames, "stream exceeds max_frames"
+        self._buf[0, self._n:self._n + t] = frames
+        self._n += t
+        return self._integrate(self._final_alpha_frames(self._n))
+
+    def finish(self) -> list[int]:
+        """Integrate the tail, apply tail rounding, return the full
+        hypothesis."""
+        if not self._finished:
+            self._integrate(self._enc_len(self._n))
+            if self._accum >= self.cfg.cif_tail_threshold:
+                self._emit_token(self._acc_vec)
+            self._finished = True
+        return list(self._tokens)
+
+    @property
+    def hypothesis(self) -> list[int]:
+        return list(self._tokens)
