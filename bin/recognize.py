@@ -57,6 +57,11 @@ def parse_args():
                         "decodes final.pth.tar or the best-cv copy)")
     p.add_argument("--platform", default="",
                    help="force jax platform (e.g. cpu) — overrides plugins")
+    p.add_argument("--cif-fire", default="scaled",
+                   choices=["scaled", "raw"],
+                   help="CIF inference firing: 'scaled' self-scales alphas "
+                        "to the rounded fire count; 'raw' is the "
+                        "reference's unscaled firing (matches streaming)")
     p.add_argument("--prng-impl", default="rbg",
                    help="must match training (the checkpointed TrainState "
                         "rng key shape depends on it; train default: rbg)")
@@ -142,7 +147,8 @@ def main():
                                      minlenratio=args.minlenratio,
                                      ctc_weight=args.ctc_weight
                                      if mode == "joint" else 0.0),
-                     mode=mode, frontend=frontend)
+                     mode=mode, frontend=frontend,
+                     cif_scale_fire=(args.cif_fire == "scaled"))
 
     # warm up EVERY bucket shape so no compile lands in the timed loop
     warmed = set()

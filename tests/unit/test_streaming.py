@@ -172,6 +172,28 @@ def test_cif_streaming_fire_count_matches_ops_oracle():
         assert rec._pos == expect
 
 
+def test_cif_streaming_equals_offline_raw_fire():
+    """StreamingCIFRecognizer == offline cif_greedy_decode(scale_fire=
+    False): the incremental sequential fire and the offline overlap-matmul
+    fire produce the same tokens (reference-style raw-alpha firing)."""
+    from tpu_asr.decode.cif_decode import cif_greedy_decode
+    from tpu_asr.decode.streaming import StreamingCIFRecognizer
+    model, params = _cif_params(seed=4)
+    t = 170
+    feats = _random_feats(t, seed=13)
+
+    toks, lens = cif_greedy_decode(
+        model, params, jnp.asarray(feats[None]),
+        jnp.asarray([t], jnp.int32), max_len=64, scale_fire=False)
+    offline = [int(x) for x in np.asarray(toks[0])[: int(lens[0])]]
+
+    rec = StreamingCIFRecognizer(CIF_CFG, params, max_frames=192,
+                                 max_tokens=64)
+    for pos in range(0, t, 31):
+        rec.push(feats[pos:pos + 31])
+    assert rec.finish() == offline
+
+
 def test_full_context_model_defers_to_finish():
     cfg = ModelConfig(vocab_size=12, d_input=80, d_model=32, d_inner=64,
                       num_heads=2, num_enc_layers=1, num_dec_layers=1,

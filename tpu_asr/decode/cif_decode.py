@@ -18,14 +18,23 @@ from tpu_asr.ops.cif import cif_fire, fire_count
 from tpu_asr.utils.padding import make_valid_mask
 
 
-def _encode_and_fire(model, params, feats, feat_lengths, max_len):
+def _encode_and_fire(model, params, feats, feat_lengths, max_len,
+                     scale_fire=True):
+    """scale_fire=True renormalizes alphas to the rounded fire count
+    before firing (keeps the boundary geometry consistent with training,
+    where alphas are always scaled to sum to U+1). scale_fire=False is
+    the reference's inference behavior — fire on raw sigmoid alphas; the
+    tail-rounded final fire is then the *unnormalized* residual
+    accumulation (what cif_weights assigns to the last partial interval),
+    matching StreamingCIFRecognizer exactly."""
     cfg = model.cfg
     enc_out, enc_lengths, alphas, valid = model.apply(
         params, feats, feat_lengths, method=CifModel.encode)
     n_fire = jnp.minimum(
         fire_count(alphas, valid, cfg.cif_tail_threshold), max_len)
-    from tpu_asr.ops.cif import scale_alphas
-    alphas = scale_alphas(alphas, valid, n_fire)
+    if scale_fire:
+        from tpu_asr.ops.cif import scale_alphas
+        alphas = scale_alphas(alphas, valid, n_fire)
     fired = cif_fire(enc_out.astype(jnp.float32), alphas, max_len)
     return fired, n_fire
 
@@ -38,6 +47,7 @@ def cif_beam_decode(
     beam: int = 5,
     max_len: int = 64,
     pad_id: int = -1,
+    scale_fire: bool = True,
 ):
     """Beam search over the CIF decoder.
 
@@ -51,7 +61,7 @@ def cif_beam_decode(
     w = beam
     n = b * w
     fired, n_fire = _encode_and_fire(model, params, feats, feat_lengths,
-                                     max_len)
+                                     max_len, scale_fire)
     fired_flat = jnp.repeat(fired, w, axis=0)          # [B*W, U, D]
     n_fire_flat = jnp.repeat(n_fire, w, axis=0)
     dec_params = {"params": params["params"]["decoder"]}
@@ -109,6 +119,7 @@ def cif_greedy_decode(
     feat_lengths: jnp.ndarray,
     max_len: int = 64,
     pad_id: int = -1,
+    scale_fire: bool = True,
 ):
     """Returns (tokens [B, max_len] pad_id-padded, lengths [B])."""
     cfg = model.cfg
@@ -117,7 +128,7 @@ def cif_greedy_decode(
     # keeps the fired embeddings' boundary geometry consistent between
     # train and inference.
     fired, n_fire = _encode_and_fire(model, params, feats, feat_lengths,
-                                     max_len)
+                                     max_len, scale_fire)
     b = feats.shape[0]
     dec_params = {"params": params["params"]["decoder"]}
     dec = CifDecoder(cfg)

@@ -31,6 +31,10 @@ class Recognizer:
     beam: BeamConfig = BeamConfig()
     mode: str = "beam"  # greedy_ctc | beam | joint | cif_greedy | cif_beam
     frontend: FrontendConfig = FrontendConfig()
+    # CIF fire-time alpha handling: True = self-scale to the rounded fire
+    # count (train/inference boundary-geometry consistency); False = the
+    # reference's raw-alpha firing (identical to StreamingCIFRecognizer).
+    cif_scale_fire: bool = True
 
     def __post_init__(self):
         assert self.mode in ("greedy_ctc", "beam", "joint",
@@ -95,9 +99,11 @@ class Recognizer:
         if self.mode == "cif_beam":
             return cif_beam_decode(self.model, params, feats, flens,
                                    beam=self.beam.beam,
-                                   max_len=self.beam.max_len)
+                                   max_len=self.beam.max_len,
+                                   scale_fire=self.cif_scale_fire)
         return cif_greedy_decode(self.model, params, feats, flens,
-                                 max_len=self.beam.max_len)
+                                 max_len=self.beam.max_len,
+                                 scale_fire=self.cif_scale_fire)
 
     # --- public API ---
 
