@@ -340,7 +340,11 @@ def _fwd_impl(q, k, v, kv_valid, causal, interpret):
 
 
 def _blk(x, default):
-    return min(default, max(x.shape[1], 8))
+    """Tile size for a [B, T, H, dh] tensor's time axis: the sequence
+    length rounded up to a lane-aligned multiple (128), capped at the
+    tuned default. Short ASR sequences (e.g. T'=250) get one padded
+    256-tile instead of a misaligned 250-tile Mosaic would mask."""
+    return min(default, max(_cdiv(x.shape[1], 128) * 128, 128))
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -359,8 +363,8 @@ def _flash_bwd(causal, interpret, res, g):
     # delta = rowsum(dO * O) per query position: [B, Tq, H] -> [B, H, Tq, 1]
     delta = jnp.sum(g.astype(jnp.float32) * out.astype(jnp.float32), axis=-1)
     delta = jnp.moveaxis(delta, 2, 1)[..., None]
-    tq_blk = min(DEFAULT_BWD_TQ, max(q.shape[1], 8))
-    tk_blk = min(DEFAULT_BWD_TK, max(k.shape[1], 8))
+    tq_blk = _blk(q, DEFAULT_BWD_TQ)
+    tk_blk = _blk(k, DEFAULT_BWD_TK)
     qt = _padt(jnp.moveaxis(q, 2, 1), tq_blk)
     kt = _padt(jnp.moveaxis(k, 2, 1), tk_blk)
     vt = _padt(jnp.moveaxis(v, 2, 1), tk_blk)
