@@ -59,6 +59,7 @@ class ModelConfig:
     pallas_attention: bool | None = None
     pallas_ctc: bool | None = None
     pallas_cif: bool | None = None
+    pallas_layernorm: bool | None = None
 
     def _resolve(self, flag):
         return self.use_pallas if flag is None else flag
@@ -74,6 +75,10 @@ class ModelConfig:
     @property
     def cif_pallas(self) -> bool:
         return self._resolve(self.pallas_cif)
+
+    @property
+    def layernorm_pallas(self) -> bool:
+        return self._resolve(self.pallas_layernorm)
 
     @property
     def d_head(self) -> int:

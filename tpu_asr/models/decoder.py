@@ -39,9 +39,12 @@ class DecoderLayer(nn.Module):
             use_pallas=c.attention_pallas)
         self.ffn = PositionwiseFeedForward(
             c.d_model, c.d_inner, c.dropout, c.dtype, c.param_dtype)
-        self.post_slf = PostNormBlock(c.d_model, c.dropout, c.dtype)
-        self.post_crs = PostNormBlock(c.d_model, c.dropout, c.dtype)
-        self.post_ffn = PostNormBlock(c.d_model, c.dropout, c.dtype)
+        self.post_slf = PostNormBlock(c.d_model, c.dropout, c.dtype,
+                                      use_pallas=c.layernorm_pallas)
+        self.post_crs = PostNormBlock(c.d_model, c.dropout, c.dtype,
+                                      use_pallas=c.layernorm_pallas)
+        self.post_ffn = PostNormBlock(c.d_model, c.dropout, c.dtype,
+                                      use_pallas=c.layernorm_pallas)
 
     def __call__(self, y, enc, self_bias, cross_bias,
                  deterministic: bool = True):

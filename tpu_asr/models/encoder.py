@@ -34,8 +34,10 @@ class EncoderLayer(nn.Module):
             use_pallas=c.attention_pallas)
         self.ffn = PositionwiseFeedForward(
             c.d_model, c.d_inner, c.dropout, c.dtype, c.param_dtype)
-        self.post_attn = PostNormBlock(c.d_model, c.dropout, c.dtype)
-        self.post_ffn = PostNormBlock(c.d_model, c.dropout, c.dtype)
+        self.post_attn = PostNormBlock(c.d_model, c.dropout, c.dtype,
+                                      use_pallas=c.layernorm_pallas)
+        self.post_ffn = PostNormBlock(c.d_model, c.dropout, c.dtype,
+                                      use_pallas=c.layernorm_pallas)
 
     def __call__(self, x, bias, deterministic: bool = True):
         h = self.slf_attn(x, x, bias, deterministic=deterministic)

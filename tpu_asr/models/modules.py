@@ -56,13 +56,41 @@ class PositionwiseFeedForward(nn.Module):
         return h
 
 
+class _LayerNormParams(nn.Module):
+    """Bare scale/bias holder with nn.LayerNorm's param names — keeps the
+    checkpoint tree identical whether the Pallas LN kernel is on or off."""
+    features: int
+
+    @nn.compact
+    def __call__(self):
+        scale = self.param("scale", nn.initializers.ones, (self.features,))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        return scale, bias
+
+
 class PostNormBlock(nn.Module):
-    """residual + dropout + LayerNorm (post-norm, reference convention)."""
+    """residual + dropout + LayerNorm (post-norm, reference convention).
+
+    use_pallas routes big [N, D] shapes through the fused residual+LN
+    Pallas kernel (one VMEM pass instead of XLA's stats+normalize pair);
+    small shapes (decode steps) stay on the XLA path where the kernel's
+    row-tile padding would dominate.
+    """
     d_model: int
     dropout: float = 0.1
     dtype: jnp.dtype = jnp.float32
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, residual, sublayer_out, deterministic: bool = True):
         h = nn.Dropout(self.dropout)(sublayer_out, deterministic=deterministic)
-        return nn.LayerNorm(dtype=self.dtype)(residual + h)
+        rows = 1
+        for s in residual.shape[:-1]:
+            rows *= s
+        if self.use_pallas and rows >= 512:
+            from tpu_asr.ops.pallas.layernorm import layer_norm_residual
+            scale, bias = _LayerNormParams(self.d_model,
+                                           name="LayerNorm_0")()
+            return layer_norm_residual(residual, h, scale, bias)
+        return nn.LayerNorm(dtype=self.dtype, name="LayerNorm_0")(
+            residual + h)
