@@ -110,6 +110,21 @@ def test_causality_future_frames_do_not_change_final_outputs():
     assert not np.array_equal(a[final:], b[final:])
 
 
+def test_incremental_equals_recompute():
+    """The KV-cached chunk-step path (incremental=True, default) emits
+    the same tokens at the same pushes as the full-recompute path."""
+    _, params = _model_and_params(seed=7)
+    t = 173
+    feats = _random_feats(t, seed=3)
+    recs = [StreamingCTCRecognizer(CFG, params, max_frames=256,
+                                   incremental=inc) for inc in (True, False)]
+    assert recs[0].incremental and not recs[1].incremental
+    for pos in range(0, t, 17):
+        outs = [r.push(feats[pos:pos + 17]) for r in recs]
+        assert outs[0] == outs[1], pos
+    assert recs[0].finish() == recs[1].finish()
+
+
 CIF_CFG = ModelConfig(vocab_size=12, d_input=80, d_model=32, d_inner=64,
                       num_heads=2, num_enc_layers=2, num_dec_layers=1,
                       dropout=0.0, model_type="cif", ctc_weight=0.0,

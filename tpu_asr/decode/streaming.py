@@ -50,6 +50,12 @@ class StreamingCTCRecognizer:
     params: dict
     max_frames: int = 2000
     blank: int = 0
+    # incremental=True (the default for chunked models) runs the O(C * T)
+    # KV-cached encoder chunk step per push — per-chunk cost is constant
+    # in stream length instead of the O(T^2) full recompute. Both paths
+    # emit identical tokens (tested); recompute remains for full-context
+    # models and as the equality oracle.
+    incremental: bool | None = None
 
     def __post_init__(self):
         assert self.cfg.model_type in ("ctc", "hybrid"), \
@@ -57,13 +63,24 @@ class StreamingCTCRecognizer:
         assert self.cfg.input_layer == "conv2d", \
             "streaming supports the conv2d front-end (linear/LFR is offline)"
         self.model = Transformer(self.cfg)
-        self._buf = np.zeros((1, self.max_frames, self.cfg.d_input),
+        if self.incremental is None:
+            self.incremental = self.cfg.enc_chunk_size > 0
+        chunk = self.cfg.enc_chunk_size
+        pad = 4 * chunk + 3 if self.incremental and chunk > 0 else 0
+        self._buf = np.zeros((1, self.max_frames + pad, self.cfg.d_input),
                              np.float32)
         self._n = 0                  # received feature frames
         self._emitted_enc = 0        # encoder frames already emitted
         self._prev_id = self.blank   # CTC collapse state across pushes
         self._tokens: list[int] = []
         self._finished = False
+        if self.incremental and chunk > 0:
+            t_max = self._enc_len(self.max_frames)
+            t_max = ((t_max + chunk - 1) // chunk) * chunk
+            from tpu_asr.models.encoder import Encoder
+            self._caches = Encoder(self.cfg).init_cache(1, t_max)
+            self._chunks_done = 0
+            self._pending_ids: list[int] = []   # argmax ids not yet final
 
     # one compiled program for the whole stream (fixed shape)
     @partial(jax.jit, static_argnums=0)
@@ -74,6 +91,16 @@ class StreamingCTCRecognizer:
         logits = self.model.apply(params, enc_out,
                                   method=Transformer.ctc_logits)
         return jnp.argmax(logits, axis=-1)[0], el[0]   # [T'], scalar
+
+    # incremental path: one compiled chunk program, O(C * T_cached)
+    @partial(jax.jit, static_argnums=0)
+    def _chunk_ids(self, params, window, chunk_idx, valid_upto, caches):
+        def fwd(model, window, chunk_idx, valid_upto, caches):
+            enc_c, caches = model.encoder.encode_chunk(
+                window, chunk_idx, caches, valid_upto=valid_upto)
+            return jnp.argmax(model.ctc_logits(enc_c), axis=-1)[0], caches
+        return self.model.apply(params, window, chunk_idx, valid_upto,
+                                caches, method=fwd)
 
     def _enc_len(self, n: int) -> int:
         return max(int(self.cfg.subsampled_length(n)), 0)
@@ -86,12 +113,30 @@ class StreamingCTCRecognizer:
             return 0
         return (el // chunk) * chunk
 
+    def _new_ids(self, upto: int) -> np.ndarray:
+        if not self.incremental:
+            ids, _ = self._argmax_ids(
+                self.params, jnp.asarray(self._buf[:, : self.max_frames]),
+                self._n)
+            return np.asarray(ids[self._emitted_enc:upto])
+        chunk = self.cfg.enc_chunk_size
+        el = self._enc_len(self._n)
+        got = []
+        while self._chunks_done * chunk < upto:
+            k = self._chunks_done
+            start = 4 * k * chunk
+            window = jnp.asarray(self._buf[:, start: start + 4 * chunk + 3])
+            ids, self._caches = self._chunk_ids(self.params, window, k, el,
+                                                self._caches)
+            take = min(chunk, upto - k * chunk)
+            got.append(np.asarray(ids[:take]))
+            self._chunks_done += 1
+        return np.concatenate(got) if got else np.zeros(0, np.int64)
+
     def _emit(self, upto: int) -> list[int]:
         if upto <= self._emitted_enc:
             return []
-        ids, _ = self._argmax_ids(self.params, jnp.asarray(self._buf),
-                                  self._n)
-        ids = np.asarray(ids[self._emitted_enc:upto])
+        ids = self._new_ids(upto)
         out = []
         for i in ids:
             i = int(i)

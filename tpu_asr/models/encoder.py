@@ -107,3 +107,56 @@ class Encoder(nn.Module):
             x = layer(x, bias, deterministic=deterministic)
         x = jnp.where(valid[..., None], x, 0.0)
         return x, out_lengths
+
+    # ---- incremental (KV-cached) chunk encoding for streaming ----
+
+    def init_cache(self, batch: int, t_max: int):
+        """Per-layer self-attention K/V caches over t_max encoder frames."""
+        c = self.cfg
+        zeros = jnp.zeros((batch, t_max, c.num_heads, c.d_head), c.dtype)
+        return {f"layer_{i}": {"k": zeros, "v": zeros}
+                for i in range(c.num_enc_layers)}
+
+    def encode_chunk(self, feat_window, chunk_idx, caches,
+                     valid_upto=None):
+        """One O(C * T_cached) streaming step: encode chunk `chunk_idx`.
+
+        feat_window: [B, 4C+3, D_in] — the raw frames whose VALID conv
+        receptive fields produce exactly the chunk's C post-subsample
+        outputs (window start = 4*C*chunk_idx). caches: from init_cache.
+        Returns (enc_chunk [B, C, d_model], caches). Output is bitwise
+        equal to the corresponding slice of __call__ on the full utterance
+        with the same chunk mask: cached K/V rows are what the full pass
+        computes (induction over layers), masked rows underflow to exact
+        zeros, and every other op is frame-local.
+        """
+        c = self.cfg
+        assert c.input_layer == "conv2d", "chunked encoding needs conv2d"
+        chunk = c.enc_chunk_size
+        assert chunk > 0, "chunked encoding needs enc_chunk_size > 0"
+        assert feat_window.shape[1] == 4 * chunk + 3, feat_window.shape
+        t_max = caches["layer_0"]["k"].shape[1]
+        x, _ = self.subsample(
+            feat_window, jnp.full((feat_window.shape[0],),
+                                  feat_window.shape[1], jnp.int32))
+        # [B, C, d_model]; global positions [chunk_idx*C, (chunk_idx+1)*C)
+        pos = chunk_idx * chunk
+        x = self.pe(x, offset=pos)
+        idx = jnp.arange(t_max)
+        allowed = idx < pos + chunk
+        if valid_upto is not None:
+            # end-of-stream partial chunk: frames past the true encoder
+            # length are conv garbage — exclude them like the offline
+            # valid mask does (outputs past valid_upto are not emitted)
+            allowed &= idx < valid_upto
+        if c.enc_left_chunks >= 0:
+            allowed &= idx >= jnp.maximum(
+                (chunk_idx - c.enc_left_chunks) * chunk, 0)
+        bias = mask_to_bias(allowed[None, None, None, :], c.dtype)
+        new_caches = {}
+        for i, layer in enumerate(self.layers):
+            key = f"layer_{i}"
+            x, k, v = layer.step(x, pos, caches[key]["k"],
+                                 caches[key]["v"], bias)
+            new_caches[key] = {"k": k, "v": v}
+        return x, new_caches
