@@ -125,6 +125,33 @@ def test_incremental_equals_recompute():
     assert recs[0].finish() == recs[1].finish()
 
 
+def test_bounded_left_context_streaming_equals_offline():
+    """enc_left_chunks=2: both streaming paths still match the offline
+    chunk-masked decode (the left-context bound changes the mask in both
+    the full pass and the incremental chunk step identically)."""
+    import dataclasses
+    cfg = dataclasses.replace(CFG, enc_left_chunks=2)
+    _, params = _model_and_params(cfg, seed=5)
+    t = 160
+    # feats seed 21 hits a random-weights argmax near-tie that flips
+    # between the Recognizer's jit program and the streaming ones (both
+    # streaming paths agree bitwise with each other there; real models
+    # don't sit on ties) — use a tie-free instance.
+    feats = _random_feats(t, seed=22)
+    offline = Recognizer(cfg=cfg, params=params, mode="greedy_ctc")
+    ref = offline.decode_batch({
+        "feats": feats[None], "feat_lengths": np.asarray([t], np.int32)})[0]
+    hyps = []
+    for inc in (True, False):
+        rec = StreamingCTCRecognizer(cfg, params, max_frames=192,
+                                     incremental=inc)
+        for pos in range(0, t, 25):
+            rec.push(feats[pos:pos + 25])
+        hyps.append(rec.finish())
+        assert hyps[-1] == ref, f"incremental={inc}"
+    assert hyps[0] == hyps[1]
+
+
 CIF_CFG = ModelConfig(vocab_size=12, d_input=80, d_model=32, d_inner=64,
                       num_heads=2, num_enc_layers=2, num_dec_layers=1,
                       dropout=0.0, model_type="cif", ctc_weight=0.0,
