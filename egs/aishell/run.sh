@@ -8,6 +8,11 @@
 # Expects the standard AISHELL-1 layout:
 #   $data/wav/{train,dev,test}/...S0002/BAC009S0002W0122.wav
 #   $data/transcript/aishell_transcript_v0.8.txt
+#
+# No AISHELL on disk? The full staged pipeline can be exercised on
+# synthetic tone-burst data written in the same layout:
+#   bash egs/aishell/run.sh --data /tmp/synth_aishell --synthetic 40 \
+#       --preset hybrid_dev --epochs 40 --platform cpu
 set -euo pipefail
 
 stage=0
@@ -15,6 +20,9 @@ data=""
 exp=exp/aishell_hybrid
 preset=aishell
 nj_decode_beam=10
+synthetic=0
+platform=""
+epochs=0
 repo_root="$(cd "$(dirname "$0")/../.." && pwd)"
 
 while [[ $# -gt 0 ]]; do
@@ -23,6 +31,9 @@ while [[ $# -gt 0 ]]; do
     --data) data="$2"; shift 2 ;;
     --exp) exp="$2"; shift 2 ;;
     --preset) preset="$2"; shift 2 ;;
+    --synthetic) synthetic="$2"; shift 2 ;;
+    --platform) platform="$2"; shift 2 ;;
+    --epochs) epochs="$2"; shift 2 ;;
     *) echo "unknown arg $1"; exit 1 ;;
   esac
 done
@@ -30,6 +41,44 @@ done
 [[ -n "$data" ]] || { echo "--data /path/to/aishell required"; exit 1; }
 cd "$repo_root"
 mkdir -p "$exp" data/aishell
+
+if [[ $synthetic -gt 0 && $stage -le 0 ]]; then
+  echo "=== stage -1: write synthetic corpus in AISHELL layout -> $data ==="
+  python - "$data" "$synthetic" <<'PY'
+import os, sys, wave as wavmod
+import numpy as np
+from tpu_asr.data.synthetic import make_synthetic_dataset
+data, n = sys.argv[1], int(sys.argv[2])
+vocab = 16
+utts, waves = make_synthetic_dataset(n, vocab, seed=0)
+n_dev = max(n // 8, 1)
+n_test = max(n // 8, 1)
+splits = {"train": utts[n_dev + n_test:], "dev": utts[:n_dev],
+          "test": utts[n_dev: n_dev + n_test]}
+os.makedirs(os.path.join(data, "transcript"), exist_ok=True)
+lines = []
+for split, us in splits.items():
+    d = os.path.join(data, "wav", split, "S0001")
+    os.makedirs(d, exist_ok=True)
+    for u in us:
+        pcm = (np.clip(waves[u.id], -1, 1) * 32767).astype("<i2")
+        with wavmod.open(os.path.join(d, u.id + ".wav"), "wb") as w:
+            w.setnchannels(1); w.setsampwidth(2); w.setframerate(16000)
+            w.writeframes(pcm.tobytes())
+        # token id -> letter, one char per token (char-dict pipeline)
+        lines.append(u.id + " " + "".join(chr(ord("a") + t) for t in u.tokens))
+with open(os.path.join(data, "transcript",
+                       "aishell_transcript_v0.8.txt"), "w") as f:
+    f.write("\n".join(lines) + "\n")
+print("synthetic corpus:", {k: len(v) for k, v in splits.items()})
+PY
+fi
+
+train_extra=()
+recog_extra=()
+[[ -n "$platform" ]] && train_extra+=(--platform "$platform") \
+  && recog_extra+=(--platform "$platform")
+[[ $epochs -gt 0 ]] && train_extra+=(--epochs "$epochs")
 
 if [[ $stage -le 0 ]]; then
   echo "=== stage 0: build wav.scp/text per split ==="
@@ -82,12 +131,12 @@ if [[ $stage -le 2 ]]; then
     --train-manifest data/aishell/train.jsonl \
     --cv-manifest data/aishell/dev.jsonl \
     --dict data/aishell/dict.txt \
-    --save-folder "$exp"
+    --save-folder "$exp" "${train_extra[@]}"
 fi
 
 if [[ $stage -le 3 ]]; then
   echo "=== stage 3: decode + score (joint CTC/attention) ==="
   python bin/recognize.py --ckpt "$exp" --manifest data/aishell/test.jsonl \
     --mode joint --beam "$nj_decode_beam" --output "$exp/test_hyp.jsonl" \
-    | tee "$exp/decode_summary.json"
+    "${recog_extra[@]}" | tee "$exp/decode_summary.json"
 fi
