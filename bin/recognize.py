@@ -36,8 +36,8 @@ def parse_args():
     p.add_argument("--manifest", required=True)
     p.add_argument("--output", default="")
     p.add_argument("--mode", default="",
-                   choices=["", "greedy_ctc", "beam", "joint", "cif_greedy",
-                            "cif_beam"])
+                   choices=["", "greedy_ctc", "ctc_beam", "beam", "joint",
+                            "cif_greedy", "cif_beam"])
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--nbest", type=int, default=1)
     p.add_argument("--max-len", type=int, default=100)

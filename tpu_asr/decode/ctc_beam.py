@@ -1,0 +1,158 @@
+"""CTC prefix beam search — frame-synchronous, batched, fully compiled.
+
+The reference decodes CTC-only models greedily (argmax + collapse); this
+is the standard quality upgrade (Hannun et al. 2014 prefix beam search)
+recast for TPU: fixed beam width W and per-frame candidate top-K, one
+`lax.scan` over frames, NO host round-trips. Per frame and beam:
+
+  stay    (same prefix):  pb' = (pb ⊕ pnb) + lp[blank]
+                          pnb' = pnb + lp[last]        (repeat collapses)
+  extend  (prefix + c):   pnb' = (c == last ? pb : pb ⊕ pnb) + lp[c]
+
+The classic hard part — merging candidates that materialize the SAME
+prefix (a stay of beam i vs an extend of beam j) — is done exactly with a
+vectorized [N, N] prefix-equality matrix over the N = W·(K+1) candidates:
+equal candidates logsumexp into their first occurrence, duplicates are
+masked to -inf, then top-W survives. N is small (e.g. 5·(8+1) = 45), so
+the N²·L compare is one cheap VPU op, which is the TPU-native trade: a
+little redundant compute for zero dynamic shapes.
+
+Padding rows (length-0 utterances) and frames past each utterance's
+length are no-ops via masked updates.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -1e30
+
+
+def _logaddexp(a, b):
+    m = jnp.maximum(a, b)
+    m_safe = jnp.maximum(m, NEG_INF / 2)
+    out = m_safe + jnp.log1p(jnp.exp(jnp.minimum(a, b) - m_safe))
+    return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
+
+
+def ctc_prefix_beam_search(
+    ctc_logits: jnp.ndarray,
+    enc_lengths: jnp.ndarray,
+    beam: int = 5,
+    topk: int = 8,
+    max_len: int = 200,
+    blank: int = 0,
+    pad_id: int = -1,
+):
+    """ctc_logits [B, T, V], enc_lengths [B] ->
+    (tokens [B, beam, max_len] pad_id-padded, lengths [B, beam],
+    scores [B, beam] log P(prefix)) sorted best-first.
+    """
+    b, t, v = ctc_logits.shape
+    w = beam
+    k = min(topk, v - 1)
+    n = w * (k + 1)                       # stay + K extends per beam
+    logp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
+
+    prefixes0 = jnp.full((b, w, max_len), pad_id, jnp.int32)
+    lens0 = jnp.zeros((b, w), jnp.int32)
+    # only beam 0 is live initially (empty prefix, pb=0)
+    pb0 = jnp.where(jnp.arange(w)[None, :] == 0, 0.0, NEG_INF)
+    pb0 = jnp.broadcast_to(pb0, (b, w))
+    pnb0 = jnp.full((b, w), NEG_INF)
+    last0 = jnp.full((b, w), -1, jnp.int32)   # -1: no last token
+
+    def step(carry, lp_t):
+        prefixes, lens, pb, pnb, last = carry
+        lp, frame_valid = lp_t                    # lp [B, V]; valid [B]
+        lp_blank = lp[:, blank]                   # [B]
+        total = _logaddexp(pb, pnb)               # [B, W]
+
+        # stay candidates (one per beam): same prefix
+        stay_pb = total + lp_blank[:, None]
+        lp_last = jnp.take_along_axis(
+            lp, jnp.maximum(last, 0), axis=-1)    # [B, W]
+        stay_pnb = jnp.where(last >= 0, pnb + lp_last, NEG_INF)
+
+        # extend candidates: top-K non-blank tokens per frame
+        lp_nb = lp.at[:, blank].set(NEG_INF)
+        top_lp, top_c = jax.lax.top_k(lp_nb, k)   # [B, K]
+        c = jnp.broadcast_to(top_c[:, None, :], (b, w, k))       # [B,W,K]
+        clp = jnp.broadcast_to(top_lp[:, None, :], (b, w, k))
+        same = c == last[..., None]
+        ext_pnb = jnp.where(same, pb[..., None],
+                            total[..., None]) + clp              # [B,W,K]
+        can_extend = lens < max_len                              # [B, W]
+        ext_pnb = jnp.where(can_extend[..., None], ext_pnb, NEG_INF)
+
+        # materialize candidate pool [B, N]: first W are stays, rest extends
+        parent = jnp.concatenate(
+            [jnp.arange(w), jnp.repeat(jnp.arange(w), k)])       # [N]
+        app = jnp.concatenate(
+            [jnp.full((b, w), -1, jnp.int32),
+             c.reshape(b, w * k)], axis=1)                       # [B, N]
+        cand_pb = jnp.concatenate(
+            [stay_pb, jnp.full((b, w * k), NEG_INF)], axis=1)
+        cand_pnb = jnp.concatenate(
+            [stay_pnb, ext_pnb.reshape(b, w * k)], axis=1)
+
+        par_pref = prefixes[:, parent]                           # [B,N,L]
+        par_len = lens[:, parent]                                # [B, N]
+        is_ext = app >= 0
+        pos = jnp.arange(max_len)[None, None, :]
+        cand_pref = jnp.where(
+            is_ext[..., None] & (pos == par_len[..., None]),
+            app[..., None], par_pref)
+        cand_len = par_len + is_ext.astype(jnp.int32)
+        cand_last = jnp.where(is_ext, app, last[:, parent])
+
+        # exact duplicate merge: logsumexp equal prefixes into the first
+        eq = (cand_len[:, :, None] == cand_len[:, None, :]) & jnp.all(
+            cand_pref[:, :, None] == cand_pref[:, None, :], axis=-1)
+        idx = jnp.arange(n)
+        first = jnp.argmax(eq, axis=-1)                          # [B, N]
+        is_first = first == idx[None, :]
+        merged_pb = _merge_lse(eq, cand_pb)
+        merged_pnb = _merge_lse(eq, cand_pnb)
+        cand_pb = jnp.where(is_first, merged_pb, NEG_INF)
+        cand_pnb = jnp.where(is_first, merged_pnb, NEG_INF)
+
+        cand_total = _logaddexp(cand_pb, cand_pnb)
+        top_scores, top_idx = jax.lax.top_k(cand_total, w)       # [B, W]
+
+        def pick(x):
+            return jnp.take_along_axis(
+                x, top_idx.reshape(b, w, *([1] * (x.ndim - 2))), axis=1)
+
+        new = (pick(cand_pref), pick(cand_len[..., None])[..., 0],
+               pick(cand_pb[..., None])[..., 0],
+               pick(cand_pnb[..., None])[..., 0],
+               pick(cand_last[..., None])[..., 0])
+        # frames past the utterance length are no-ops
+        keep = frame_valid[:, None]
+        out = tuple(
+            jnp.where(keep[..., None] if o.ndim == 3 else keep, o, old)
+            for o, old in zip(new, (prefixes, lens, pb, pnb, last)))
+        return out, None
+
+    frames = jnp.moveaxis(logp, 1, 0)                            # [T, B, V]
+    valid = jnp.arange(t)[:, None] < enc_lengths[None, :]        # [T, B]
+    (prefixes, lens, pb, pnb, _), _ = jax.lax.scan(
+        step, (prefixes0, lens0, pb0, pnb0, last0), (frames, valid))
+    scores = _logaddexp(pb, pnb)
+    order = jnp.argsort(-scores, axis=-1)
+    prefixes = jnp.take_along_axis(prefixes, order[..., None], axis=1)
+    lens = jnp.take_along_axis(lens, order, axis=1)
+    scores = jnp.take_along_axis(scores, order, axis=1)
+    return prefixes, lens, scores
+
+
+def _merge_lse(eq, x):
+    """Row-wise logsumexp of x over each equality group: [B,N,N]x[B,N]."""
+    vals = jnp.where(eq, x[:, None, :], NEG_INF)       # [B, N(out), N(in)]
+    m = jnp.max(vals, axis=-1)
+    m_safe = jnp.maximum(m, NEG_INF / 2)
+    s = jnp.sum(jnp.exp(vals - m_safe[..., None]), axis=-1)
+    return jnp.where(m <= NEG_INF / 2, NEG_INF,
+                     m_safe + jnp.log(jnp.maximum(s, 1e-37)))

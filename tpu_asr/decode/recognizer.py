@@ -29,7 +29,7 @@ class Recognizer:
     cfg: ModelConfig
     params: dict
     beam: BeamConfig = BeamConfig()
-    mode: str = "beam"  # greedy_ctc | beam | joint | cif_greedy | cif_beam
+    mode: str = "beam"  # greedy_ctc | ctc_beam | beam | joint | cif_greedy | cif_beam
     frontend: FrontendConfig = FrontendConfig()
     # CIF fire-time alpha handling: True = self-scale to the rounded fire
     # count (train/inference boundary-geometry consistency); False = the
@@ -37,10 +37,10 @@ class Recognizer:
     cif_scale_fire: bool = True
 
     def __post_init__(self):
-        assert self.mode in ("greedy_ctc", "beam", "joint",
+        assert self.mode in ("greedy_ctc", "ctc_beam", "beam", "joint",
                              "cif_greedy", "cif_beam")
         mt = self.cfg.model_type
-        if self.mode in ("greedy_ctc", "joint"):
+        if self.mode in ("greedy_ctc", "ctc_beam", "joint"):
             assert mt in ("ctc", "hybrid"), \
                 f"mode {self.mode} needs a CTC head (model_type={mt})"
         if self.mode in ("beam", "joint"):
@@ -75,6 +75,21 @@ class Recognizer:
         logits = self.model.apply(params, enc_out,
                                   method=Transformer.ctc_logits)
         return ctc_greedy_decode(logits, el)
+
+    @partial(jax.jit, static_argnums=0)
+    def _ctc_beam(self, params, batch):
+        """Frame-synchronous CTC prefix beam search (no attention decoder
+        needed — upgrades CTC-only models beyond the reference's greedy)."""
+        from tpu_asr.decode.ctc_beam import ctc_prefix_beam_search
+        feats, flens = self._features(batch)
+        enc_out, el = self.model.apply(params, feats, flens,
+                                       method=Transformer.encode)
+        logits = self.model.apply(params, enc_out,
+                                  method=Transformer.ctc_logits)
+        toks, lens, scores = ctc_prefix_beam_search(
+            logits, el, beam=self.beam.beam,
+            max_len=min(self.beam.max_len, logits.shape[1]))
+        return {"tokens": toks, "lengths": lens, "scores": scores}
 
     @partial(jax.jit, static_argnums=0)
     def _beam(self, params, batch):
@@ -120,8 +135,9 @@ class Recognizer:
             return [int(t) for t in row[:length]
                     if int(t) >= 0 and int(t) != eos]
 
-        if self.mode in ("beam", "joint"):
-            out = self._beam(self.params, arrays)
+        if self.mode in ("beam", "joint", "ctc_beam"):
+            out = (self._ctc_beam if self.mode == "ctc_beam"
+                   else self._beam)(self.params, arrays)
             toks = np.asarray(out["tokens"])           # [B, W, L]
             lens = np.asarray(out["lengths"])
             scores = np.asarray(out["scores"])
