@@ -36,6 +36,10 @@ def parse_args():
     p.add_argument("--manifest", required=True)
     p.add_argument("--chunk-frames", type=int, default=64,
                    help="feature frames fed per push (64 = 0.64 s)")
+    p.add_argument("--beam", type=int, default=1,
+                   help="beam > 1 runs streaming CTC prefix beam search "
+                        "(chunked ctc/hybrid models; 1-best may be "
+                        "revised as audio arrives)")
     p.add_argument("--max-frames", type=int, default=3000)
     p.add_argument("--limit", type=int, default=0, help="max utterances")
     p.add_argument("--quiet", action="store_true",
@@ -59,6 +63,7 @@ def main():
 
     from tpu_asr.data import load_manifest
     from tpu_asr.decode.streaming import (StreamingCIFRecognizer,
+                                          StreamingCTCBeamRecognizer,
                                           StreamingCTCRecognizer)
     from tpu_asr.frontend import FrontendConfig, wav_to_features
     from tpu_asr.models import CifModel, Transformer
@@ -105,24 +110,38 @@ def main():
         else:
             from tpu_asr.data.kaldi_io import read_mat
             feats = np.asarray(read_mat(utt.feat))
-        rec_cls = StreamingCIFRecognizer if is_cif \
-            else StreamingCTCRecognizer
-        rec = rec_cls(cfg, params, max_frames=args.max_frames)
+        if is_cif:
+            rec = StreamingCIFRecognizer(cfg, params,
+                                         max_frames=args.max_frames)
+        elif args.beam > 1:
+            rec = StreamingCTCBeamRecognizer(cfg, params, beam=args.beam,
+                                             max_frames=args.max_frames)
+        else:
+            rec = StreamingCTCRecognizer(cfg, params,
+                                         max_frames=args.max_frames)
+        beam_mode = args.beam > 1 and not is_cif
         hyp_parts = []
         t0 = time.time()
+        prev_best = []
         for pos in range(0, len(feats), args.chunk_frames):
             new = rec.push(feats[pos: pos + args.chunk_frames])
+            if beam_mode:
+                new, prev_best = ([] if new == prev_best else new), new
             if new:
                 # emission lag: audio front minus last final enc frame,
                 # in input frames (10 ms each)
-                done_enc = getattr(rec, "_emitted_enc",
-                                   getattr(rec, "_alpha_done", 0))
+                done_enc = getattr(
+                    rec, "_emitted_enc",
+                    getattr(rec, "_alpha_done", None))
+                if done_enc is None:   # beam mode: chunks advanced
+                    done_enc = rec._chunks_done * cfg.enc_chunk_size
                 lags.append(min(pos + args.chunk_frames, len(feats))
                             - done_enc * 4)
                 hyp_parts.append((pos + args.chunk_frames, new))
                 if not args.quiet:
+                    tag = "=" if beam_mode else "+"
                     print(f"  [{(pos + args.chunk_frames) / 100:6.2f}s] "
-                          f"+{new}")
+                          f"{tag}{new}")
         hyp = rec.finish()
         t_wall += time.time() - t0
         line = {"id": utt.id, "tokens": hyp}

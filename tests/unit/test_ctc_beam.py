@@ -137,3 +137,47 @@ def test_recognizer_ctc_beam_mode():
     for i in range(2):
         direct = [int(x) for x in np.asarray(toks[i, 0])[: int(lens[i, 0])]]
         assert nbest[i][0]["yseq"] == direct
+
+
+def test_streaming_beam_equals_offline():
+    """StreamingCTCBeamRecognizer (chunked KV-cached encoder + carried
+    beam state) == offline ctc_prefix_beam_search over the full
+    utterance's encoder output — exact, for any feed segmentation."""
+    import jax
+    from tpu_asr.decode.streaming import StreamingCTCBeamRecognizer
+    from tpu_asr.models import ModelConfig, Transformer
+
+    cfg = ModelConfig(vocab_size=12, d_input=80, d_model=32, d_inner=64,
+                      num_heads=2, num_enc_layers=2, num_dec_layers=1,
+                      dropout=0.0, model_type="ctc", enc_chunk_size=4)
+    model = Transformer(cfg)
+    rng = np.random.default_rng(9)
+    t = 173
+    feats = (rng.standard_normal((t, 80)) * 3).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 80, 80), jnp.float32),
+                        jnp.full((1,), 80, jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32),
+                        jnp.full((1,), 4, jnp.int32))
+
+    enc, el = model.apply(params, jnp.asarray(feats[None]),
+                          jnp.asarray([t], jnp.int32),
+                          method=Transformer.encode)
+    logits = model.apply(params, enc, method=Transformer.ctc_logits)
+    toks, lens, scores = ctc_prefix_beam_search(logits, el, beam=4,
+                                                topk=8, max_len=64)
+    ref = [int(x) for x in np.asarray(toks[0, 0])[: int(lens[0, 0])]]
+
+    for sizes in ((t,), (19,) * 10):
+        rec = StreamingCTCBeamRecognizer(cfg, params, beam=4, topk=8,
+                                         max_frames=256, max_tokens=64)
+        pos = 0
+        mid = []
+        for sz in sizes:
+            take = min(sz, t - pos)
+            if not take:
+                break
+            mid = rec.push(feats[pos:pos + take])
+            pos += take
+        assert rec.finish() == ref, sizes
+    assert isinstance(mid, list)

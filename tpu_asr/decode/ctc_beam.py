@@ -23,6 +23,8 @@ length are no-ops via masked updates.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -36,36 +38,32 @@ def _logaddexp(a, b):
     return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
 
 
-def ctc_prefix_beam_search(
-    ctc_logits: jnp.ndarray,
-    enc_lengths: jnp.ndarray,
-    beam: int = 5,
-    topk: int = 8,
-    max_len: int = 200,
-    blank: int = 0,
-    pad_id: int = -1,
-):
-    """ctc_logits [B, T, V], enc_lengths [B] ->
-    (tokens [B, beam, max_len] pad_id-padded, lengths [B, beam],
-    scores [B, beam] log P(prefix)) sorted best-first.
-    """
-    b, t, v = ctc_logits.shape
+def beam_init(b: int, beam: int, max_len: int, pad_id: int = -1):
+    """Fresh beam-search state (also the streaming carry): only beam 0 is
+    live (the empty prefix, pb=0)."""
     w = beam
-    k = min(topk, v - 1)
-    n = w * (k + 1)                       # stay + K extends per beam
-    logp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
-
     prefixes0 = jnp.full((b, w, max_len), pad_id, jnp.int32)
     lens0 = jnp.zeros((b, w), jnp.int32)
-    # only beam 0 is live initially (empty prefix, pb=0)
     pb0 = jnp.where(jnp.arange(w)[None, :] == 0, 0.0, NEG_INF)
     pb0 = jnp.broadcast_to(pb0, (b, w))
     pnb0 = jnp.full((b, w), NEG_INF)
     last0 = jnp.full((b, w), -1, jnp.int32)   # -1: no last token
+    return (prefixes0, lens0, pb0, pnb0, last0)
+
+
+def beam_advance(state, logp, frame_valid, topk: int = 8, blank: int = 0):
+    """Advance the search over logp [B, Tc, V] (log-softmaxed) with
+    frame_valid [B, Tc]; frame-synchronous, so chunk-at-a-time advances
+    compose to exactly the full-utterance search (the streaming use)."""
+    b, w, max_len = state[0].shape
+    v = logp.shape[-1]
+    k = min(topk, v - 1)
+
+    n = w * (k + 1)                       # stay + K extends per beam
 
     def step(carry, lp_t):
         prefixes, lens, pb, pnb, last = carry
-        lp, frame_valid = lp_t                    # lp [B, V]; valid [B]
+        lp, fvalid = lp_t                         # lp [B, V]; fvalid [B]
         lp_blank = lp[:, blank]                   # [B]
         total = _logaddexp(pb, pnb)               # [B, W]
 
@@ -130,22 +128,48 @@ def ctc_prefix_beam_search(
                pick(cand_pnb[..., None])[..., 0],
                pick(cand_last[..., None])[..., 0])
         # frames past the utterance length are no-ops
-        keep = frame_valid[:, None]
+        keep = fvalid[:, None]
         out = tuple(
             jnp.where(keep[..., None] if o.ndim == 3 else keep, o, old)
             for o, old in zip(new, (prefixes, lens, pb, pnb, last)))
         return out, None
 
-    frames = jnp.moveaxis(logp, 1, 0)                            # [T, B, V]
-    valid = jnp.arange(t)[:, None] < enc_lengths[None, :]        # [T, B]
-    (prefixes, lens, pb, pnb, _), _ = jax.lax.scan(
-        step, (prefixes0, lens0, pb0, pnb0, last0), (frames, valid))
+    frames = jnp.moveaxis(logp, 1, 0)                            # [Tc,B,V]
+    valid = jnp.moveaxis(frame_valid, 1, 0)                      # [Tc, B]
+    state, _ = jax.lax.scan(step, state, (frames, valid))
+    return state
+
+
+def beam_finalize(state):
+    """-> (tokens [B, W, max_len], lengths [B, W], scores [B, W]),
+    sorted best-first by log P(prefix)."""
+    prefixes, lens, pb, pnb, _ = state
     scores = _logaddexp(pb, pnb)
     order = jnp.argsort(-scores, axis=-1)
     prefixes = jnp.take_along_axis(prefixes, order[..., None], axis=1)
     lens = jnp.take_along_axis(lens, order, axis=1)
     scores = jnp.take_along_axis(scores, order, axis=1)
     return prefixes, lens, scores
+
+
+def ctc_prefix_beam_search(
+    ctc_logits: jnp.ndarray,
+    enc_lengths: jnp.ndarray,
+    beam: int = 5,
+    topk: int = 8,
+    max_len: int = 200,
+    blank: int = 0,
+    pad_id: int = -1,
+):
+    """ctc_logits [B, T, V], enc_lengths [B] ->
+    (tokens [B, beam, max_len] pad_id-padded, lengths [B, beam],
+    scores [B, beam] log P(prefix)) sorted best-first."""
+    b, t, _ = ctc_logits.shape
+    logp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
+    frame_valid = jnp.arange(t)[None, :] < enc_lengths[:, None]  # [B, T]
+    state = beam_init(b, beam, max_len, pad_id)
+    state = beam_advance(state, logp, frame_valid, topk=topk, blank=blank)
+    return beam_finalize(state)
 
 
 def _merge_lse(eq, x):

@@ -170,6 +170,104 @@ class StreamingCTCRecognizer:
 
 
 @dataclasses.dataclass(eq=False)
+class StreamingCTCBeamRecognizer:
+    """Streaming CTC *prefix beam* search: the KV-cached chunked encoder
+    feeds `decode.ctc_beam.beam_advance`, whose state is the scan carry —
+    frame-synchronous search composes exactly across chunks, so the final
+    result is identical to the offline `ctc_prefix_beam_search` on the
+    full utterance (tested). Unlike greedy streaming, the running best
+    hypothesis may be revised by later audio: `push` returns the CURRENT
+    1-best (not an append-only delta).
+    """
+
+    cfg: ModelConfig
+    params: dict
+    beam: int = 5
+    topk: int = 8
+    max_frames: int = 2000
+    max_tokens: int = 200
+    blank: int = 0
+
+    def __post_init__(self):
+        from tpu_asr.decode.ctc_beam import beam_init
+        from tpu_asr.models.encoder import Encoder
+        assert self.cfg.model_type in ("ctc", "hybrid"), \
+            "streaming beam needs a CTC head"
+        assert self.cfg.input_layer == "conv2d" \
+            and self.cfg.enc_chunk_size > 0, \
+            "streaming beam needs the chunked conv2d encoder"
+        self.model = Transformer(self.cfg)
+        chunk = self.cfg.enc_chunk_size
+        self._buf = np.zeros(
+            (1, self.max_frames + 4 * chunk + 3, self.cfg.d_input),
+            np.float32)
+        self._n = 0
+        self._chunks_done = 0
+        t_max = int(self.cfg.subsampled_length(self.max_frames))
+        t_max = ((t_max + chunk - 1) // chunk) * chunk
+        self._caches = Encoder(self.cfg).init_cache(1, t_max)
+        self._bstate = beam_init(1, self.beam, self.max_tokens)
+        self._finished = False
+
+    @partial(jax.jit, static_argnums=0)
+    def _chunk_advance(self, params, window, chunk_idx, valid_upto,
+                       caches, bstate):
+        from tpu_asr.decode.ctc_beam import beam_advance
+        chunk = self.cfg.enc_chunk_size
+
+        def fwd(model, window, chunk_idx, valid_upto, caches, bstate):
+            enc_c, caches = model.encoder.encode_chunk(
+                window, chunk_idx, caches, valid_upto=valid_upto)
+            logp = jax.nn.log_softmax(
+                model.ctc_logits(enc_c).astype(jnp.float32), axis=-1)
+            fr = chunk_idx * chunk + jnp.arange(chunk)
+            fvalid = (fr < valid_upto)[None, :]
+            bstate = beam_advance(bstate, logp, fvalid, topk=self.topk,
+                                  blank=self.blank)
+            return caches, bstate
+
+        return self.model.apply(params, window, chunk_idx, valid_upto,
+                                caches, bstate, method=fwd)
+
+    def _enc_len(self, n: int) -> int:
+        return max(int(self.cfg.subsampled_length(n)), 0)
+
+    def _advance(self, upto: int):
+        chunk = self.cfg.enc_chunk_size
+        el = self._enc_len(self._n)
+        while self._chunks_done * chunk < upto:
+            k = self._chunks_done
+            start = 4 * k * chunk
+            window = jnp.asarray(self._buf[:, start: start + 4 * chunk + 3])
+            self._caches, self._bstate = self._chunk_advance(
+                self.params, window, k, el, self._caches, self._bstate)
+            self._chunks_done += 1
+
+    def current_best(self) -> list[int]:
+        from tpu_asr.decode.ctc_beam import beam_finalize
+        toks, lens, _ = beam_finalize(self._bstate)
+        return [int(x) for x in np.asarray(toks[0, 0])[: int(lens[0, 0])]]
+
+    def push(self, frames: np.ndarray) -> list[int]:
+        """Append [t, D] frames; returns the CURRENT 1-best hypothesis
+        (may revise earlier output — beam semantics)."""
+        assert not self._finished, "push() after finish()"
+        t = frames.shape[0]
+        assert self._n + t <= self.max_frames, "stream exceeds max_frames"
+        self._buf[0, self._n:self._n + t] = frames
+        self._n += t
+        chunk = self.cfg.enc_chunk_size
+        self._advance((self._enc_len(self._n) // chunk) * chunk)
+        return self.current_best()
+
+    def finish(self) -> list[int]:
+        if not self._finished:
+            self._advance(self._enc_len(self._n))
+            self._finished = True
+        return self.current_best()
+
+
+@dataclasses.dataclass(eq=False)
 class StreamingCIFRecognizer:
     """Incremental CIF recognition: token-synchronous integrate-and-fire.
 
