@@ -189,6 +189,22 @@ def test_cif_streaming_segmentation_invariance():
     assert emitted_mid[1] > 0              # tokens flow during the stream
 
 
+def test_cif_incremental_equals_recompute():
+    """Incremental CIF (KV-cached encoder + halo-window assigner) emits
+    the same tokens at the same pushes as the full-recompute path."""
+    from tpu_asr.decode.streaming import StreamingCIFRecognizer
+    _, params = _cif_params(seed=4)
+    t = 170
+    feats = _random_feats(t, seed=13)
+    recs = [StreamingCIFRecognizer(CIF_CFG, params, max_frames=192,
+                                   incremental=inc) for inc in (True, False)]
+    assert recs[0].incremental and not recs[1].incremental
+    for pos in range(0, t, 23):
+        outs = [r.push(feats[pos:pos + 23]) for r in recs]
+        assert outs[0] == outs[1], pos
+    assert recs[0].finish() == recs[1].finish()
+
+
 def test_cif_streaming_fire_count_matches_ops_oracle():
     """Number of decoder steps == the independent unscaled fire count
     (ops.cif.fire_count on the full utterance's alphas)."""

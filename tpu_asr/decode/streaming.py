@@ -292,6 +292,11 @@ class StreamingCIFRecognizer:
     params: dict
     max_frames: int = 2000
     max_tokens: int = 200
+    # incremental=True (default for chunked models): KV-cached encoder
+    # chunk steps + a (C+2)-frame halo window for the assigner's width-3
+    # SAME conv, so per-push compute is O(C * T_cached) like the CTC
+    # path. False = full recompute per push (the equality oracle).
+    incremental: bool | None = None
 
     def __post_init__(self):
         from tpu_asr.models.cif import CifDecoder, CifModel
@@ -303,7 +308,11 @@ class StreamingCIFRecognizer:
         self.model = CifModel(self.cfg)
         self._dec = CifDecoder(self.cfg)
         self._dec_params = {"params": self.params["params"]["decoder"]}
-        self._buf = np.zeros((1, self.max_frames, self.cfg.d_input),
+        if self.incremental is None:
+            self.incremental = self.cfg.enc_chunk_size > 0
+        chunk = self.cfg.enc_chunk_size
+        pad = 4 * chunk + 3 if self.incremental and chunk > 0 else 0
+        self._buf = np.zeros((1, self.max_frames + pad, self.cfg.d_input),
                              np.float32)
         self._n = 0
         self._alpha_done = 0          # alpha frames already integrated
@@ -318,6 +327,17 @@ class StreamingCIFRecognizer:
         self._saw_eos = False
         self._tokens: list[int] = []
         self._finished = False
+        if self.incremental and chunk > 0:
+            from tpu_asr.models.encoder import Encoder
+            t_max = self._enc_len(self.max_frames)
+            t_max = ((t_max + chunk - 1) // chunk) * chunk
+            self._enc_caches = Encoder(self.cfg).init_cache(1, t_max)
+            self._chunks_done = 0
+            # host mirrors of the encoder/assigner outputs (+C zero rows
+            # so tail alpha windows can read past the last chunk)
+            self._enc_np = np.zeros((t_max + chunk, self.cfg.d_model),
+                                    np.float32)
+            self._alpha_np = np.zeros(t_max + chunk, np.float32)
 
     @partial(jax.jit, static_argnums=0)
     def _encode_alphas(self, params, feats, n_frames):
@@ -335,6 +355,25 @@ class StreamingCIFRecognizer:
             method=CifDecoder.step)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
 
+    @partial(jax.jit, static_argnums=0)
+    def _enc_chunk(self, params, window, chunk_idx, valid_upto, caches):
+        def fwd(model, window, chunk_idx, valid_upto, caches):
+            return model.encoder.encode_chunk(window, chunk_idx, caches,
+                                              valid_upto=valid_upto)
+        return self.model.apply(params, window, chunk_idx, valid_upto,
+                                caches, method=fwd)
+
+    @partial(jax.jit, static_argnums=0)
+    def _alpha_window(self, params, rows):
+        """Assigner over a [1, C+2, D] halo window; outputs 1..C are the
+        frames whose width-3 conv context lies fully inside the window."""
+        def fwd(model, rows):
+            a, _ = model.assigner(
+                rows.astype(model.cfg.dtype),
+                jnp.full((1,), rows.shape[1], jnp.int32))
+            return a
+        return self.model.apply(params, rows, method=fwd)[0]
+
     def _enc_len(self, n: int) -> int:
         return max(int(self.cfg.subsampled_length(n)), 0)
 
@@ -344,6 +383,44 @@ class StreamingCIFRecognizer:
             return 0
         final_enc = (self._enc_len(n) // chunk) * chunk
         return max(final_enc - 1, 0)   # assigner conv: 1-frame lookahead
+
+    def _store_chunk_rows(self, k: int, el: int):
+        chunk = self.cfg.enc_chunk_size
+        start = 4 * k * chunk
+        window = jnp.asarray(self._buf[:, start: start + 4 * chunk + 3])
+        enc_c, self._enc_caches = self._enc_chunk(
+            self.params, window, k, el, self._enc_caches)
+        lo = k * chunk
+        self._enc_np[lo: lo + chunk] = np.asarray(enc_c[0], np.float32)
+        if el < lo + chunk:            # conv garbage past the true length:
+            self._enc_np[max(el, lo): lo + chunk] = 0.0  # zero like offline
+
+    def _alpha_pass(self, k: int):
+        """Alphas for frames [k*C - 1, (k+1)*C - 2] from the halo window
+        rows [k*C - 2, (k+1)*C) (zeros outside the stream)."""
+        chunk = self.cfg.enc_chunk_size
+        c2 = chunk + 2
+        lo = k * chunk - 2
+        win = np.zeros((1, c2, self.cfg.d_model), np.float32)
+        s = max(lo, 0)
+        win[0, s - lo: c2] = self._enc_np[s: lo + c2]
+        al = np.asarray(self._alpha_window(self.params, jnp.asarray(win)))
+        for i in range(1, chunk + 1):
+            j = lo + i
+            if j >= 0:
+                self._alpha_np[j] = al[i]
+
+    def _extend_incremental(self, upto: int, el: int):
+        """Ensure enc rows + alphas cover [0, upto) (incremental path)."""
+        chunk = self.cfg.enc_chunk_size
+        while (self._chunks_done + 1) * chunk <= el:
+            self._store_chunk_rows(self._chunks_done, el)
+            self._alpha_pass(self._chunks_done)
+            self._chunks_done += 1
+        if upto > max(self._chunks_done * chunk - 1, 0):   # finishing
+            if self._chunks_done * chunk < el:             # partial chunk
+                self._store_chunk_rows(self._chunks_done, el)
+            self._alpha_pass(self._chunks_done)            # tail alphas
 
     def _emit_token(self, fired_vec: np.ndarray) -> int | None:
         if self._saw_eos or self._pos >= self.max_tokens:
@@ -365,10 +442,17 @@ class StreamingCIFRecognizer:
         [_alpha_done, upto); returns newly emitted tokens."""
         if upto <= self._alpha_done:
             return []
-        enc, alphas, _ = self._encode_alphas(
-            self.params, jnp.asarray(self._buf), self._n)
-        enc = np.asarray(enc[self._alpha_done:upto])
-        alphas = np.asarray(alphas[self._alpha_done:upto], np.float64)
+        if self.incremental:
+            self._extend_incremental(upto, self._enc_len(self._n))
+            enc = self._enc_np[self._alpha_done:upto]
+            alphas = self._alpha_np[self._alpha_done:upto].astype(
+                np.float64)
+        else:
+            enc, alphas, _ = self._encode_alphas(
+                self.params,
+                jnp.asarray(self._buf[:, : self.max_frames]), self._n)
+            enc = np.asarray(enc[self._alpha_done:upto])
+            alphas = np.asarray(alphas[self._alpha_done:upto], np.float64)
         out = []
         for a, h in zip(alphas, enc):
             if self._accum + a < 1.0:
