@@ -38,6 +38,10 @@ def parse_args():
     p.add_argument("--batch-size", type=int, default=0,
                    help="fixed utterances per batch (reference --batch_size mode; overrides the batch-frames budget)")
     p.add_argument("--warmup-steps", type=int, default=0)
+    p.add_argument("--accum-steps", type=int, default=0,
+                   help="gradient accumulation: apply the optimizer every "
+                        "k-th batch on averaged grads (simulates a k-times "
+                        "larger batch at flat memory)")
     p.add_argument("--lr-k", type=float, default=0.0)
     p.add_argument("--continue-from", dest="continue_from")
     p.add_argument("--num-devices", type=int, default=0,
@@ -101,6 +105,8 @@ def main():
         tc = dataclasses.replace(tc, batch_size=args.batch_size)
     if args.warmup_steps:
         tc = dataclasses.replace(tc, warmup_steps=args.warmup_steps)
+    if args.accum_steps:
+        tc = dataclasses.replace(tc, accum_steps=args.accum_steps)
     if args.lr_k:
         tc = dataclasses.replace(tc, lr_k=args.lr_k)
     if args.print_freq:
@@ -145,7 +151,8 @@ def main():
                            shuffle=False)
 
     model = CifModel(mc) if mc.model_type == "cif" else Transformer(mc)
-    tx = make_optimizer(mc.d_model, tc.warmup_steps, tc.lr_k, tc.grad_clip)
+    tx = make_optimizer(mc.d_model, tc.warmup_steps, tc.lr_k, tc.grad_clip,
+                        accum_steps=tc.accum_steps)
 
     # init from one batch's shapes
     batch0 = next(iter(cv_loader if cv_utts else train_loader))

@@ -204,3 +204,82 @@ def test_data_parallel_step_on_cpu_mesh(rng):
     # params remain replicated (one logical copy)
     leaf = jax.tree.leaves(state.params)[0]
     assert leaf.sharding.is_fully_replicated
+
+
+def test_grad_accumulation_equals_big_batch():
+    """make_optimizer(accum_steps=2): (a) half-batch grads average to the
+    full-batch grad exactly (mean losses), (b) MultiSteps defers the
+    update until the k-th micro-step, then applies one inner Adam/Noam
+    step on the averaged grads. (Comparing post-Adam params directly is
+    eps-unstable: at step 1 m/sqrt(v) is sign-like, so float-eps grad
+    noise flips near-zero elements — assert the two real invariants.)"""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import optax
+    from tpu_asr.models import ModelConfig, Transformer
+    from tpu_asr.train import TrainState, make_optimizer, make_train_step
+
+    cfg = ModelConfig(vocab_size=16, d_input=80, d_model=32, d_inner=64,
+                      num_heads=2, num_enc_layers=1, num_dec_layers=1,
+                      dropout=0.0, model_type="ctc")
+    model = Transformer(cfg)
+    rng = np.random.default_rng(0)
+    feats = jnp.asarray(rng.standard_normal((4, 60, 80)).astype(np.float32))
+    flens = jnp.full((4,), 60, jnp.int32)
+    ys = jnp.asarray(rng.integers(2, 14, (4, 5)).astype(np.int32))
+    yls = jnp.full((4,), 5, jnp.int32)
+    variables = model.init(jax.random.PRNGKey(0), feats, flens, ys, yls)
+    p0 = variables["params"]
+
+    # (a) gradient averaging is exact
+    def grad(sl):
+        def loss(p):
+            return model.apply({"params": p}, feats[sl], flens[sl],
+                               ys[sl], yls[sl])["loss"]
+        return jax.grad(loss)(p0)
+
+    g_full, g1, g2 = grad(slice(None)), grad(slice(0, 2)), grad(slice(2, 4))
+    for a, b, c in zip(jax.tree.leaves(g1), jax.tree.leaves(g2),
+                       jax.tree.leaves(g_full)):
+        np.testing.assert_allclose(np.asarray((a + b) / 2), np.asarray(c),
+                                   atol=1e-6)
+
+    # (b) MultiSteps wiring: no update on micro-step 1, one on micro-step 2
+    def batch(sl):
+        return {"feats": feats[sl], "feat_lengths": flens[sl],
+                "targets": ys[sl], "target_lengths": yls[sl]}
+
+    tx = make_optimizer(cfg.d_model, warmup_steps=10, accum_steps=2)
+    s_acc = TrainState.create(p0, tx, jax.random.PRNGKey(1))
+    step = make_train_step(model, tx, donate=False)
+    s_acc, _ = step(s_acc, batch(slice(0, 2)))
+
+    def max_delta(p):
+        return max(float(jnp.max(jnp.abs(a - b))) for a, b in
+                   zip(jax.tree.leaves(p), jax.tree.leaves(p0)))
+
+    assert max_delta(s_acc.params) == 0.0
+    s_acc, _ = step(s_acc, batch(slice(2, 4)))
+    assert max_delta(s_acc.params) > 1e-4    # the deferred update landed
+
+    # (c) optax-level equivalence on well-conditioned grads: MultiSteps
+    # over two micro-grads == one inner Adam/Noam step on their average.
+    # (Post-Adam params of the real model are NOT comparable here: the
+    # grad norm is ~33 -> clip to 5 leaves near-zero-grad leaves whose
+    # step-1 update is lr*sign(float-eps noise) on any two execution
+    # paths — even big-batch jit vs eager on identical grads differ.)
+    pw = {"w": jnp.asarray([1.0, -2.0, 0.5, 3.0])}
+    ga = {"w": jnp.asarray([0.30, 0.11, -0.25, 0.40])}
+    gb = {"w": jnp.asarray([0.50, -0.70, 0.45, 0.10])}
+    ms = make_optimizer(cfg.d_model, warmup_steps=10, accum_steps=2)
+    st = ms.init(pw)
+    u1, st = ms.update(ga, st, pw)
+    u2, st = ms.update(gb, st, pw)
+    p_ms = optax.apply_updates(optax.apply_updates(pw, u1), u2)
+    inner = make_optimizer(cfg.d_model, warmup_steps=10)
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, ga, gb)
+    u, _ = inner.update(g_mean, inner.init(pw), pw)
+    p_direct = optax.apply_updates(pw, u)
+    np.testing.assert_allclose(np.asarray(p_ms["w"]),
+                               np.asarray(p_direct["w"]), atol=1e-7)

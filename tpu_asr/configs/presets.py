@@ -30,6 +30,9 @@ class TrainConfig:
     warmup_steps: int = 4000
     lr_k: float = 1.0
     grad_clip: float = 5.0
+    accum_steps: int = 1           # >1: gradient accumulation (the Noam/
+    #                                Adam update applies every k-th step
+    #                                on the averaged micro-batch grads)
     batch_frames: int = 16000      # per-batch input budget (bucket planning)
     batch_size: int | None = None  # fixed utts/batch (reference --batch_size
     #                                mode; overrides the batch_frames budget)

@@ -29,7 +29,12 @@ def make_optimizer(
     k: float = 1.0,
     grad_clip: float = 5.0,
     weight_decay: float = 0.0,
+    accum_steps: int = 1,
 ) -> optax.GradientTransformation:
+    """accum_steps > 1 enables gradient accumulation (optax.MultiSteps):
+    micro-batch gradients are averaged and the Adam/Noam update applies
+    every accum_steps-th step — with mean losses this equals training on
+    an accum_steps-times-larger batch (tested), at flat memory."""
     sched = noam_schedule(d_model, warmup_steps, k)
     parts = []
     if grad_clip > 0:
@@ -39,4 +44,7 @@ def make_optimizer(
                                  weight_decay=weight_decay))
     else:
         parts.append(optax.adam(sched, b1=0.9, b2=0.98, eps=1e-9))
-    return optax.chain(*parts)
+    tx = optax.chain(*parts)
+    if accum_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=accum_steps)
+    return tx
