@@ -55,9 +55,14 @@ def build():
     import jax
     import jax.numpy as jnp
     from tpu_asr.models import ModelConfig, Transformer
+    from tpu_asr.utils.compile_cache import enable_persistent_cache
 
     # rbg PRNG: threefry dropout costs ~37% of the train step on v5e
     jax.config.update("jax_default_prng_impl", "rbg")
+    # warm-start recompiles across driver runs (r2 paid 519s of joint-beam
+    # compile per process; the persistent cache deserializes instead)
+    cache_dir = enable_persistent_cache()
+    log(f"compilation cache: {cache_dir}")
 
     # flagship aishell-preset model: asymmetric conv front-end channels
     # (32 -> 128, VGG-style: channels grow as time/freq resolution shrinks)

@@ -33,6 +33,8 @@ def parse_args():
                    help="comma-separated explicit steps (overrides --last)")
     p.add_argument("--platform", default="",
                    help="force jax platform (e.g. cpu) — overrides plugins")
+    from tpu_asr.utils.compile_cache import add_cache_flag
+    add_cache_flag(p)
     return p.parse_args()
 
 
@@ -41,6 +43,8 @@ def main():
     import jax
     if args.platform:
         jax.config.update("jax_platforms", args.platform)
+    from tpu_asr.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache(args.compile_cache)
     import jax.numpy as jnp
     import orbax.checkpoint as ocp
 

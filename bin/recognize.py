@@ -65,6 +65,8 @@ def parse_args():
     p.add_argument("--prng-impl", default="rbg",
                    help="must match training (the checkpointed TrainState "
                         "rng key shape depends on it; train default: rbg)")
+    from tpu_asr.utils.compile_cache import add_cache_flag
+    add_cache_flag(p)
     return p.parse_args()
 
 
@@ -74,6 +76,8 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     if args.prng_impl:
         jax.config.update("jax_default_prng_impl", args.prng_impl)
+    from tpu_asr.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache(args.compile_cache)
     from tpu_asr.data import DataLoader, load_manifest, make_buckets
     from tpu_asr.decode.beam import BeamConfig
     from tpu_asr.decode.recognizer import Recognizer

@@ -49,6 +49,8 @@ def parse_args():
     p.add_argument("--prng-impl", default="rbg",
                    help="must match training (checkpointed rng key shape; "
                         "train default: rbg)")
+    from tpu_asr.utils.compile_cache import add_cache_flag
+    add_cache_flag(p)
     return p.parse_args()
 
 
@@ -59,6 +61,8 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     if args.prng_impl:
         jax.config.update("jax_default_prng_impl", args.prng_impl)
+    from tpu_asr.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache(args.compile_cache)
     import jax.numpy as jnp
 
     from tpu_asr.data import load_manifest

@@ -64,6 +64,8 @@ def parse_args():
     p.add_argument("--prng-impl", default="rbg",
                    help="PRNG for dropout/specaug; rbg is ~1.5x faster "
                         "train steps on TPU than threefry")
+    from tpu_asr.utils.compile_cache import add_cache_flag
+    add_cache_flag(p)
     return p.parse_args()
 
 
@@ -75,6 +77,8 @@ def main():
         jax.config.update("jax_debug_nans", True)
     if args.prng_impl:
         jax.config.update("jax_default_prng_impl", args.prng_impl)
+    from tpu_asr.utils.compile_cache import enable_persistent_cache
+    enable_persistent_cache(args.compile_cache)
     from tpu_asr.configs import get_preset
     from tpu_asr.data import DataLoader, load_manifest, make_buckets
     from tpu_asr.models import CifModel, Transformer
