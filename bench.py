@@ -160,7 +160,6 @@ def bench_train_cif(batch_arrays):
     """CIF train steps/s (north-star phrasing is "CTC+CIF training
     steps/sec"): aishell-scale CIF model (ctc aux 0.5 + quantity loss),
     same b=32 x 1000-frame batch as the hybrid bench."""
-    import dataclasses
     import jax
     import jax.numpy as jnp
     from tpu_asr.models import CifModel, ModelConfig

@@ -102,7 +102,7 @@ def main():
 
     fcfg = FrontendConfig()
     total_err, total_ref, lags = 0, 0, []
-    t_wall = 0.0
+    t_wall, n_decoded = 0.0, 0
     for utt in utts:
         if utt.wav:
             from tpu_asr.data.audio import read_wav
@@ -114,6 +114,11 @@ def main():
         else:
             from tpu_asr.data.kaldi_io import read_mat
             feats = np.asarray(read_mat(utt.feat))
+        if len(feats) > args.max_frames:
+            print(f"warning: {utt.id} is {len(feats)} frames "
+                  f"(> --max-frames {args.max_frames}); skipping",
+                  file=sys.stderr)
+            continue
         if is_cif:
             rec = StreamingCIFRecognizer(cfg, params,
                                          max_frames=args.max_frames)
@@ -148,6 +153,7 @@ def main():
                           f"{tag}{new}")
         hyp = rec.finish()
         t_wall += time.time() - t0
+        n_decoded += 1
         line = {"id": utt.id, "tokens": hyp}
         if utt.tokens:
             e = cer([utt.tokens], [hyp])
@@ -156,7 +162,7 @@ def main():
             line["cer"] = round(e["distance"] / max(e["ref_len"], 1), 4)
         print(json.dumps(line))
     summary = {
-        "n_utts": len(utts),
+        "n_utts": n_decoded,
         "chunk_frames": args.chunk_frames,
         "enc_chunk_size": cfg.enc_chunk_size,
         "mean_emission_lag_ms": (round(float(np.mean(lags)) * 10, 1)

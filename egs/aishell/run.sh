@@ -131,12 +131,12 @@ if [[ $stage -le 2 ]]; then
     --train-manifest data/aishell/train.jsonl \
     --cv-manifest data/aishell/dev.jsonl \
     --dict data/aishell/dict.txt \
-    --save-folder "$exp" "${train_extra[@]}"
+    --save-folder "$exp" ${train_extra[@]+"${train_extra[@]}"}
 fi
 
 if [[ $stage -le 3 ]]; then
   echo "=== stage 3: decode + score (joint CTC/attention) ==="
   python bin/recognize.py --ckpt "$exp" --manifest data/aishell/test.jsonl \
     --mode joint --beam "$nj_decode_beam" --output "$exp/test_hyp.jsonl" \
-    "${recog_extra[@]}" | tee "$exp/decode_summary.json"
+    ${recog_extra[@]+"${recog_extra[@]}"} | tee "$exp/decode_summary.json"
 fi

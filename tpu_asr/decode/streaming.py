@@ -15,12 +15,15 @@ utterance with the same (chunk-masked) model, because
   * CTC emission is frame-synchronous: argmax + collapse needs only a
     single running "previous id" across chunk boundaries.
 
-TPU shape discipline: ONE jitted program at a fixed [1, max_frames, D]
-shape; each push re-runs it with a larger valid length. Compute per push
-is O(T_so_far) matmuls — fine at ASR lengths (a production system would
-add per-layer KV caches; at T' <= 750 the recompute is cheaper than the
-bookkeeping). Feed pre-normalized features (global CMVN): per-utterance
-CMVN (frontend.cmvn) reads the whole utterance and is not causal.
+TPU shape discipline: for chunked models the DEFAULT path is
+incremental — one compiled `Encoder.encode_chunk` program with per-layer
+KV caches, so each push costs O(C * T_cached) instead of re-running the
+full encoder. The full-recompute path (one jitted program at a fixed
+[1, max_frames, D] shape, re-run per push with a larger valid length)
+remains as the fallback for full-context models and as the equality
+oracle the incremental path is tested against. Feed pre-normalized
+features (global CMVN): per-utterance CMVN (frontend.cmvn) reads the
+whole utterance and is not causal.
 """
 
 from __future__ import annotations
@@ -80,7 +83,6 @@ class StreamingCTCRecognizer:
             from tpu_asr.models.encoder import Encoder
             self._caches = Encoder(self.cfg).init_cache(1, t_max)
             self._chunks_done = 0
-            self._pending_ids: list[int] = []   # argmax ids not yet final
 
     # one compiled program for the whole stream (fixed shape)
     @partial(jax.jit, static_argnums=0)
