@@ -172,9 +172,11 @@ def bench_train_cif(batch_arrays):
     return bench_train_tpu(cfg, model, params, batch_arrays)
 
 
-def bench_torch_baseline(cfg, params):
+def bench_torch_baseline(cfg, params, passes=3):
     """Reference-style host-driven beam decode (PyTorch CPU), 8 utterances
-    from the same length distribution at the same max_len as the TPU path."""
+    from the same length distribution at the same max_len as the TPU path.
+    Median of `passes` full passes: single-pass inverse-RTF wobbled ±10%
+    run-to-run (r2), and it is the denominator of the headline ratio."""
     import dataclasses
     import jax.numpy as jnp
     import torch
@@ -187,17 +189,22 @@ def bench_torch_baseline(cfg, params):
     twin.eval()
     rng = np.random.default_rng(1)
     lens = utt_lengths(TORCH_UTTS, seed=11)
-    wall = 0.0
-    for i in range(TORCH_UTTS):
-        t = int(lens[i])
-        feats = torch.tensor(
-            rng.standard_normal((1, t, 80)).astype(np.float32))
-        fl = torch.tensor([t])
-        t0 = time.time()
-        twin.beam_decode_utt(feats, fl, beam=BEAM, max_len=MAX_LEN)
-        wall += time.time() - t0
+    utt_feats = [torch.tensor(
+        rng.standard_normal((1, int(t), 80)).astype(np.float32))
+        for t in lens]
     audio = float(lens.sum()) * 0.01
-    return audio / wall
+    rtfs = []
+    for _ in range(passes):
+        wall = 0.0
+        for i in range(TORCH_UTTS):
+            fl = torch.tensor([int(lens[i])])
+            t0 = time.time()
+            twin.beam_decode_utt(utt_feats[i], fl, beam=BEAM,
+                                 max_len=MAX_LEN)
+            wall += time.time() - t0
+        rtfs.append(audio / wall)
+    log(f"torch baseline passes: {[round(r, 3) for r in rtfs]}")
+    return float(np.median(rtfs))
 
 
 def main():
@@ -252,7 +259,7 @@ def main():
             "greedy_ctc_inverse_rtf": round(greedy_rtf, 2),
             "torch_cpu_inverse_rtf": (round(torch_inv_rtf, 2)
                                       if vs else None),
-            "torch_utts": TORCH_UTTS,
+            "torch_utts": TORCH_UTTS, "torch_passes": 3,
             "beam": BEAM, "max_len": MAX_LEN,
             "utt_frames_hist": {
                 "deciles": [int(x) for x in np.percentile(

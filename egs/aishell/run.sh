@@ -140,3 +140,27 @@ if [[ $stage -le 3 ]]; then
     --mode joint --beam "$nj_decode_beam" --output "$exp/test_hyp.jsonl" \
     ${recog_extra[@]+"${recog_extra[@]}"} | tee "$exp/decode_summary.json"
 fi
+
+if [[ $stage -le 4 ]]; then
+  echo "=== stage 4: CER-vs-beam sanity sweep (decode-quality regression"
+  echo "    gate: CER must not blow up as beam widens) ==="
+  : > "$exp/cer_vs_beam.jsonl"
+  for b in 1 5 10; do
+    python bin/recognize.py --ckpt "$exp" --manifest data/aishell/test.jsonl \
+      --mode joint --beam "$b" --output "$exp/test_hyp_beam$b.jsonl" \
+      ${recog_extra[@]+"${recog_extra[@]}"} \
+      | python -c "import sys,json; s=json.loads(sys.stdin.readlines()[-1]); \
+s['beam']=$b; print(json.dumps(s))" >> "$exp/cer_vs_beam.jsonl"
+  done
+  cat "$exp/cer_vs_beam.jsonl"
+  python - "$exp/cer_vs_beam.jsonl" <<'PY'
+import json, sys
+rows = [json.loads(l) for l in open(sys.argv[1])]
+by_beam = {r["beam"]: r["cer"] for r in rows}
+assert set(by_beam) == {1, 5, 10}, by_beam
+# wider beams must not be dramatically worse than greedy-ish beam=1
+assert by_beam[10] <= by_beam[1] + 0.05, by_beam
+assert by_beam[5] <= by_beam[1] + 0.05, by_beam
+print("cer_vs_beam OK:", by_beam)
+PY
+fi

@@ -22,6 +22,15 @@ jax.config.update("jax_platforms", "cpu")
 # emulated on CPU too). Numerics tests compare exact paths, so pin f32.
 jax.config.update("jax_default_matmul_precision", "float32")
 
+# The suite is compile-bound (1 CPU core, hundreds of tiny programs):
+# warm-start recompiles across runs via the persistent compilation cache,
+# same mechanism the CLIs use (tpu_asr.utils.compile_cache). A separate
+# dir from the CLI cache: the 8-virtual-device topology differs.
+from tpu_asr.utils.compile_cache import enable_persistent_cache  # noqa: E402
+
+enable_persistent_cache(os.path.join(os.path.expanduser("~"), ".cache",
+                                     "tpu_asr", "xla-tests"))
+
 
 @pytest.fixture
 def rng():

@@ -20,6 +20,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(
 def run_cli(script, *args):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # CLIs force cpu via --platform
+    # don't leak conftest's 8-virtual-device topology into the CLI: a
+    # real user runs single-device, and the mesh batch_multiple rounding
+    # changes batching enough to weaken the 100-epoch overfit (measured
+    # CER 0.0063 single-device vs 0.12 with the leaked flag)
+    env.pop("XLA_FLAGS", None)
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bin", script), *args],
         capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
@@ -62,7 +67,9 @@ def test_prepare_train_recognize_score(tmp_path):
     assert summary["n_utts"] == 24
     assert summary["mode"] == "joint"
     assert summary["inverse_rtf"] > 0
-    assert summary["cer"] < 0.5, summary
+    # decoding the TRAINING set of a 100-epoch overfit model must be
+    # near-exact — this guards decode QUALITY, not just plumbing
+    assert summary["cer"] < 0.05, summary
     hyps = [json.loads(l) for l in hyp.read_text().strip().split("\n")]
     assert len(hyps) == 24 and all("hyp_tokens" in h for h in hyps)
 
@@ -103,4 +110,6 @@ def test_streaming_pipeline(tmp_path):
     assert summary["n_utts"] == 16
     assert summary["enc_chunk_size"] == 4
     assert summary["mean_emission_lag_ms"] is not None  # streamed mid-utt
-    assert summary["cer"] < 0.9, summary  # tokens flow; tiny-run accuracy
+    # 40-epoch overfit + checkpoint averaging on the training set: the
+    # streamed hypothesis must be mostly right, not merely flowing
+    assert summary["cer"] < 0.5, summary

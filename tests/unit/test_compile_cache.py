@@ -15,11 +15,16 @@ from tpu_asr.utils.compile_cache import (default_cache_dir,
 
 
 def test_cache_dir_populates(tmp_path):
+    # jax pins its cache singleton to the first directory used (the
+    # conftest suite cache) — reset it around the redirect
+    from jax.experimental.compilation_cache import compilation_cache as cc
+    prev = jax.config.jax_compilation_cache_dir   # conftest's suite cache
     d = str(tmp_path / "xla_cache")
     got = enable_persistent_cache(d)
     assert got == d and os.path.isdir(d)
     # drop the floor so this tiny test program qualifies for caching
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    cc.reset_cache()
     try:
         @jax.jit
         def prog(x):
@@ -29,10 +34,12 @@ def test_cache_dir_populates(tmp_path):
         assert os.listdir(d), "compilation cache directory stayed empty"
     finally:
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_compilation_cache_dir", prev)
+        cc.reset_cache()
 
 
 def test_disable_and_env_resolution(tmp_path, monkeypatch):
+    prev = jax.config.jax_compilation_cache_dir   # conftest's suite cache
     assert enable_persistent_cache("off") is None
     assert enable_persistent_cache("none") is None
     env_dir = str(tmp_path / "from_env")
@@ -43,7 +50,7 @@ def test_disable_and_env_resolution(tmp_path, monkeypatch):
         arg_dir = str(tmp_path / "explicit")
         assert enable_persistent_cache(arg_dir) == arg_dir
     finally:
-        jax.config.update("jax_compilation_cache_dir", None)
+        jax.config.update("jax_compilation_cache_dir", prev)
     monkeypatch.delenv("TPU_ASR_COMPILE_CACHE")
     assert default_cache_dir().endswith(os.path.join("tpu_asr", "xla"))
 

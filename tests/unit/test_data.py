@@ -5,6 +5,7 @@ import io
 import json
 
 import numpy as np
+import pytest
 
 from tpu_asr import IGNORE_ID
 from tpu_asr.data import (Bucket, DataLoader, load_espnet_json,
@@ -78,17 +79,7 @@ def test_batch_size_mode(rng):
     assert all(b.batch_size % 4 == 0 for b in b2)
 
 
-def test_ark_feat_loader_trains_step(tmp_path, rng):
-    """End-to-end feat-mode ingestion: binary kaldi ark -> native C++ parser
-    -> feat DataLoader (batch_size mode) -> one finite train step.
-    (Reference: src/data/data.py reads fbank mats from ark via kaldi_io.)"""
-    import jax
-    import jax.numpy as jnp
-    from tpu_asr.models import ModelConfig, Transformer
-    from tpu_asr.train import TrainState, make_optimizer, make_train_step
-    from tpu_asr.train.loop import strip_host_fields
-
-    d_in, n = 8, 6
+def _ark_loader_batches(tmp_path, rng, d_in=8, n=6):
     ark = tmp_path / "feats.ark"
     utts = []
     with open(ark, "wb") as f:
@@ -102,8 +93,45 @@ def test_ark_feat_loader_trains_step(tmp_path, rng):
     buckets = make_buckets(utts, num_buckets=1, max_frames_cap=64,
                            max_tokens_cap=8, batch_size=3)
     loader = DataLoader(utts, buckets, mode="feat", shuffle=False)
-    batches = list(loader)
+    return utts, list(loader)
+
+
+def test_ark_feat_loader_batches(tmp_path, rng):
+    """Feat-mode ingestion: binary kaldi ark -> native C++ parser -> feat
+    DataLoader (batch_size mode) -> padded batches covering every utt with
+    exact per-row contents. (Reference: src/data/data.py reads fbank mats
+    from ark via kaldi_io.)"""
+    from tpu_asr.data.kaldi_io import read_mat
+    utts, batches = _ark_loader_batches(tmp_path, rng)
+    n = len(utts)
     assert sum(int((b["feat_lengths"] > 0).sum()) for b in batches) == n
+    by_id = {u.id: u for u in utts}
+    seen = 0
+    for b in batches:
+        for row, uid in enumerate(b["ids"]):
+            if not uid:
+                continue
+            u = by_id[uid]
+            t = int(b["feat_lengths"][row])
+            assert t == u.num_frames
+            np.testing.assert_allclose(
+                b["feats"][row, :t], read_mat(u.feat), rtol=1e-6)
+            seen += 1
+    assert seen == n
+
+
+@pytest.mark.slow
+def test_ark_feat_loader_trains_step(tmp_path, rng):
+    """The ark-fed batch drives one finite train step (slow tier: compiles
+    the hybrid train step; batch-content exactness above is fast)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_asr.models import ModelConfig, Transformer
+    from tpu_asr.train import TrainState, make_optimizer, make_train_step
+    from tpu_asr.train.loop import strip_host_fields
+
+    d_in = 8
+    _, batches = _ark_loader_batches(tmp_path, rng, d_in=d_in)
     cfg = ModelConfig(vocab_size=16, d_input=d_in, d_model=16, d_inner=32,
                       num_heads=2, num_enc_layers=1, num_dec_layers=1,
                       model_type="hybrid", dropout=0.0)

@@ -65,8 +65,11 @@ def test_bf16_roundtrip_shape_and_finite():
     assert bool(jnp.all(jnp.isfinite(out.astype(jnp.float32))))
 
 
+@pytest.mark.slow
 def test_model_equivalence_with_flag():
-    """Same params, pallas_layernorm on/off -> equal hybrid losses."""
+    """Same params, pallas_layernorm on/off -> equal hybrid losses.
+    (Slow tier: compiles the full hybrid model twice; the kernel-level
+    equivalence tests above stay fast.)"""
     from tpu_asr.models import ModelConfig, Transformer
     import dataclasses
     cfg = ModelConfig(vocab_size=16, d_input=80, d_model=128, d_inner=128,

@@ -71,6 +71,26 @@ def test_dummy_row_masking(rng, model_type):
         np.testing.assert_allclose(float(out_real[k]), float(out_pad[k]),
                                    rtol=1e-5, err_msg=k)
 
+
+@pytest.mark.slow
+@pytest.mark.parametrize("model_type", ["hybrid", "cif"])
+def test_dummy_row_grads_finite(rng, model_type):
+    """Gradients through a dummy-row-padded batch stay finite (slow tier:
+    compiles the backward pass; the loss-identity half is fast)."""
+    feats, fl, targets, tl = make_batch(rng)
+    cfg = ModelConfig(**{**CFG.__dict__, "model_type": model_type,
+                         "ctc_weight": 0.3})
+    model = CifModel(cfg) if model_type == "cif" else Transformer(cfg)
+    params = model.init(jax.random.PRNGKey(0), feats, fl, targets, tl)
+    n_pad = 2
+    feats_p = jnp.concatenate(
+        [feats, jnp.zeros((n_pad,) + feats.shape[1:], feats.dtype)])
+    fl_p = jnp.concatenate([fl, jnp.zeros((n_pad,), fl.dtype)])
+    targets_p = jnp.concatenate(
+        [targets, jnp.full((n_pad, targets.shape[1]), IGNORE_ID,
+                           targets.dtype)])
+    tl_p = jnp.concatenate([tl, jnp.zeros((n_pad,), tl.dtype)])
+
     def loss_fn(p):
         return model.apply(p, feats_p, fl_p, targets_p, tl_p)["loss"]
 

@@ -67,7 +67,11 @@ def test_train_step_reduces_loss(rng):
     assert np.isfinite(losses).all()
 
 
+@pytest.mark.slow
 def test_train_step_wav_mode(rng):
+    """Wav-mode train step (on-device frontend inside the jitted step).
+    Slow tier: a second full train-step compile; feat-mode keeps the
+    fast-tier coverage and the frontend has its own unit tests."""
     from tpu_asr.frontend import FrontendConfig
     cfg = ModelConfig(**{**CFG.__dict__, "d_input": 80})
     fcfg = FrontendConfig()
@@ -133,7 +137,7 @@ def test_best_checkpoint_survives_gc(tmp_path, rng):
     assert int(restored.step) == 1
 
 
-def test_mesh_step_equals_single_device(rng):
+def _check_mesh_step_equals_single_device(rng, mesh_shapes):
     """SPMD correctness, not just liveness: one train step on a dp x tp
     mesh must produce the SAME loss, grad norm, and updated params as the
     single-device step (f32 tolerance; reduction order differs across
@@ -158,7 +162,7 @@ def test_mesh_step_equals_single_device(rng):
 
     g1 = jax.device_get(grads_of(state.params, batch))
 
-    for n_data, n_model in [(8, 1), (4, 2)]:
+    for n_data, n_model in mesh_shapes:
         mesh = make_mesh(n_data=n_data, n_model=n_model,
                          devices=jax.devices()[: n_data * n_model])
         mstate = state.replace(
@@ -186,6 +190,17 @@ def test_mesh_step_equals_single_device(rng):
                 err_msg=str((n_data, n_model))), g1, g2)
 
 
+def test_mesh_step_equals_single_device(rng):
+    # dp=4 x tp=2 exercises BOTH mesh axes in the fast tier; pure-dp is
+    # the slow variant below (each extra mesh shape = two more compiles)
+    _check_mesh_step_equals_single_device(rng, [(4, 2)])
+
+
+@pytest.mark.slow
+def test_mesh_step_equals_single_device_pure_dp(rng):
+    _check_mesh_step_equals_single_device(rng, [(8, 1)])
+
+
 def test_data_parallel_step_on_cpu_mesh(rng):
     from tpu_asr.parallel import make_mesh, shard_batch, replicated
     assert len(jax.devices()) == 8, "conftest must fake 8 CPU devices"
@@ -206,33 +221,26 @@ def test_data_parallel_step_on_cpu_mesh(rng):
     assert leaf.sharding.is_fully_replicated
 
 
-def test_grad_accumulation_equals_big_batch():
-    """make_optimizer(accum_steps=2): (a) half-batch grads average to the
-    full-batch grad exactly (mean losses), (b) MultiSteps defers the
-    update until the k-th micro-step, then applies one inner Adam/Noam
-    step on the averaged grads. (Comparing post-Adam params directly is
-    eps-unstable: at step 1 m/sqrt(v) is sign-like, so float-eps grad
-    noise flips near-zero elements — assert the two real invariants.)"""
-    import jax
-    import jax.numpy as jnp
-    import numpy as np
-    import optax
-    from tpu_asr.models import ModelConfig, Transformer
-    from tpu_asr.train import TrainState, make_optimizer, make_train_step
-
-    cfg = ModelConfig(vocab_size=16, d_input=80, d_model=32, d_inner=64,
-                      num_heads=2, num_enc_layers=1, num_dec_layers=1,
-                      dropout=0.0, model_type="ctc")
-    model = Transformer(cfg)
+def _accum_setup():
+    from tpu_asr.models import ModelConfig as MC, Transformer as TF
+    cfg = MC(vocab_size=16, d_input=80, d_model=32, d_inner=64,
+             num_heads=2, num_enc_layers=1, num_dec_layers=1,
+             dropout=0.0, model_type="ctc")
+    model = TF(cfg)
     rng = np.random.default_rng(0)
     feats = jnp.asarray(rng.standard_normal((4, 60, 80)).astype(np.float32))
     flens = jnp.full((4,), 60, jnp.int32)
     ys = jnp.asarray(rng.integers(2, 14, (4, 5)).astype(np.int32))
     yls = jnp.full((4,), 5, jnp.int32)
     variables = model.init(jax.random.PRNGKey(0), feats, flens, ys, yls)
-    p0 = variables["params"]
+    return cfg, model, variables["params"], (feats, flens, ys, yls)
 
-    # (a) gradient averaging is exact
+
+def test_grad_accumulation_averaging_exact():
+    """Half-batch grads average to the full-batch grad exactly (mean
+    losses) — the numerical premise of optax.MultiSteps accumulation."""
+    cfg, model, p0, (feats, flens, ys, yls) = _accum_setup()
+
     def grad(sl):
         def loss(p):
             return model.apply({"params": p}, feats[sl], flens[sl],
@@ -245,7 +253,38 @@ def test_grad_accumulation_equals_big_batch():
         np.testing.assert_allclose(np.asarray((a + b) / 2), np.asarray(c),
                                    atol=1e-6)
 
-    # (b) MultiSteps wiring: no update on micro-step 1, one on micro-step 2
+
+def test_multisteps_equals_mean_grad_step():
+    """optax-level equivalence on well-conditioned grads: MultiSteps over
+    two micro-grads == one inner Adam/Noam step on their average.
+    (Post-Adam params of the real model are NOT comparable here: the
+    grad norm clip leaves near-zero-grad leaves whose step-1 update is
+    lr*sign(float-eps noise) on any two execution paths.)"""
+    import optax
+    pw = {"w": jnp.asarray([1.0, -2.0, 0.5, 3.0])}
+    ga = {"w": jnp.asarray([0.30, 0.11, -0.25, 0.40])}
+    gb = {"w": jnp.asarray([0.50, -0.70, 0.45, 0.10])}
+    ms = make_optimizer(32, warmup_steps=10, accum_steps=2)
+    st = ms.init(pw)
+    u1, st = ms.update(ga, st, pw)
+    u2, st = ms.update(gb, st, pw)
+    p_ms = optax.apply_updates(optax.apply_updates(pw, u1), u2)
+    inner = make_optimizer(32, warmup_steps=10)
+    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, ga, gb)
+    u, _ = inner.update(g_mean, inner.init(pw), pw)
+    p_direct = optax.apply_updates(pw, u)
+    np.testing.assert_allclose(np.asarray(p_ms["w"]),
+                               np.asarray(p_direct["w"]), atol=1e-7)
+
+
+@pytest.mark.slow
+def test_grad_accumulation_equals_big_batch():
+    """MultiSteps wiring through the real train step: defers the update
+    until the k-th micro-step, then applies one inner Adam/Noam step on
+    the averaged grads. (Slow tier: compiles the full train step; the
+    averaging exactness + optax semantics above stay in the fast tier.)"""
+    cfg, model, p0, (feats, flens, ys, yls) = _accum_setup()
+
     def batch(sl):
         return {"feats": feats[sl], "feat_lengths": flens[sl],
                 "targets": ys[sl], "target_lengths": yls[sl]}
@@ -262,24 +301,3 @@ def test_grad_accumulation_equals_big_batch():
     assert max_delta(s_acc.params) == 0.0
     s_acc, _ = step(s_acc, batch(slice(2, 4)))
     assert max_delta(s_acc.params) > 1e-4    # the deferred update landed
-
-    # (c) optax-level equivalence on well-conditioned grads: MultiSteps
-    # over two micro-grads == one inner Adam/Noam step on their average.
-    # (Post-Adam params of the real model are NOT comparable here: the
-    # grad norm is ~33 -> clip to 5 leaves near-zero-grad leaves whose
-    # step-1 update is lr*sign(float-eps noise) on any two execution
-    # paths — even big-batch jit vs eager on identical grads differ.)
-    pw = {"w": jnp.asarray([1.0, -2.0, 0.5, 3.0])}
-    ga = {"w": jnp.asarray([0.30, 0.11, -0.25, 0.40])}
-    gb = {"w": jnp.asarray([0.50, -0.70, 0.45, 0.10])}
-    ms = make_optimizer(cfg.d_model, warmup_steps=10, accum_steps=2)
-    st = ms.init(pw)
-    u1, st = ms.update(ga, st, pw)
-    u2, st = ms.update(gb, st, pw)
-    p_ms = optax.apply_updates(optax.apply_updates(pw, u1), u2)
-    inner = make_optimizer(cfg.d_model, warmup_steps=10)
-    g_mean = jax.tree.map(lambda a, b: (a + b) / 2, ga, gb)
-    u, _ = inner.update(g_mean, inner.init(pw), pw)
-    p_direct = optax.apply_updates(pw, u)
-    np.testing.assert_allclose(np.asarray(p_ms["w"]),
-                               np.asarray(p_direct["w"]), atol=1e-7)

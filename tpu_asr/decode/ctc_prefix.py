@@ -117,13 +117,17 @@ class CTCPrefixScorer:
             return out, ys
 
         if self.use_pallas:
-            # VMEM-resident recursion (one kernel instead of a 250-step
-            # while loop); always materializes histories.
+            # VMEM-resident recursion (one beam-lane-packed kernel instead
+            # of a 250-step while loop); history streams skipped when the
+            # caller only needs scores (return_r=False).
             from tpu_asr.ops.pallas.ctc_prefix import ctc_prefix_scan_pallas
             psi, nb_full, b_full = ctc_prefix_scan_pallas(
-                x_cand, phi, x_blank, r_nb0, r_b0, psi0, self.lengths)
-            new_r = jnp.stack([jnp.moveaxis(nb_full, 1, 2),
-                               jnp.moveaxis(b_full, 1, 2)], axis=-1)
+                x_cand, phi, x_blank, r_nb0, r_b0, psi0, self.lengths,
+                return_hist=return_r)
+            new_r = None
+            if return_r:
+                new_r = jnp.stack([jnp.moveaxis(nb_full, 1, 2),
+                                   jnp.moveaxis(b_full, 1, 2)], axis=-1)
         else:
             xs = (jnp.moveaxis(x_cand[:, 1:], 1, 0),     # [T-1, N, K]
                   jnp.moveaxis(x_blank[:, 1:], 1, 0),    # [T-1, N]

@@ -69,9 +69,12 @@ class StreamingCTCRecognizer:
         if self.incremental is None:
             self.incremental = self.cfg.enc_chunk_size > 0
         chunk = self.cfg.enc_chunk_size
-        pad = 4 * chunk + 3 if self.incremental and chunk > 0 else 0
-        self._buf = np.zeros((1, self.max_frames + pad, self.cfg.d_input),
-                             np.float32)
+        # feature window that yields one chunk of encoder frames (derived
+        # from the conv front-end geometry, not hardcoded)
+        self._win = (self.cfg.conv_input_window(chunk)
+                     if self.incremental and chunk > 0 else 0)
+        self._buf = np.zeros((1, self.max_frames + self._win,
+                              self.cfg.d_input), np.float32)
         self._n = 0                  # received feature frames
         self._emitted_enc = 0        # encoder frames already emitted
         self._prev_id = self.blank   # CTC collapse state across pushes
@@ -123,11 +126,12 @@ class StreamingCTCRecognizer:
             return np.asarray(ids[self._emitted_enc:upto])
         chunk = self.cfg.enc_chunk_size
         el = self._enc_len(self._n)
+        stride = self.cfg.conv_total_stride
         got = []
         while self._chunks_done * chunk < upto:
             k = self._chunks_done
-            start = 4 * k * chunk
-            window = jnp.asarray(self._buf[:, start: start + 4 * chunk + 3])
+            start = stride * k * chunk
+            window = jnp.asarray(self._buf[:, start: start + self._win])
             ids, self._caches = self._chunk_ids(self.params, window, k, el,
                                                 self._caches)
             take = min(chunk, upto - k * chunk)
@@ -200,8 +204,9 @@ class StreamingCTCBeamRecognizer:
             "streaming beam needs the chunked conv2d encoder"
         self.model = Transformer(self.cfg)
         chunk = self.cfg.enc_chunk_size
+        self._win = self.cfg.conv_input_window(chunk)
         self._buf = np.zeros(
-            (1, self.max_frames + 4 * chunk + 3, self.cfg.d_input),
+            (1, self.max_frames + self._win, self.cfg.d_input),
             np.float32)
         self._n = 0
         self._chunks_done = 0
@@ -239,8 +244,8 @@ class StreamingCTCBeamRecognizer:
         el = self._enc_len(self._n)
         while self._chunks_done * chunk < upto:
             k = self._chunks_done
-            start = 4 * k * chunk
-            window = jnp.asarray(self._buf[:, start: start + 4 * chunk + 3])
+            start = self.cfg.conv_total_stride * k * chunk
+            window = jnp.asarray(self._buf[:, start: start + self._win])
             self._caches, self._bstate = self._chunk_advance(
                 self.params, window, k, el, self._caches, self._bstate)
             self._chunks_done += 1
@@ -280,14 +285,17 @@ class StreamingCIFRecognizer:
     scaling needs the full utterance) with tail rounding at end-of-stream
     (residual >= cif_tail_threshold fires once more).
 
-    Finality bookkeeping: the assigner's width-3 SAME conv gives alpha_j a
-    one-frame lookahead, so with chunk mask granularity C the final alphas
-    after n frames are indices < (el(n)//C)*C - 1. The incremental result
-    is therefore segmentation-invariant and equal to running the same
-    sequential fire over the full utterance's encoder outputs (tested).
+    Finality bookkeeping: the assigner's SAME conv gives alpha_j a
+    lookahead of ASSIGNER_LOOKAHEAD frames (derived from its kernel width
+    in models/cif.py, not hardcoded), so with chunk mask granularity C
+    the final alphas after n frames are indices < (el(n)//C)*C - la. The
+    incremental result is therefore segmentation-invariant and equal to
+    running the same fire over the full utterance's encoder outputs
+    (tested).
 
-    One jitted encoder program (fixed [1, max_frames] shape) + one jitted
-    decoder step serve the whole stream.
+    The integrate-and-fire itself is ONE jitted lax.scan per push
+    (_integrate_fires) — fire decisions and fired vectors come back as
+    arrays; only the per-fired-token decoder step loops on host.
     """
 
     cfg: ModelConfig
@@ -295,13 +303,15 @@ class StreamingCIFRecognizer:
     max_frames: int = 2000
     max_tokens: int = 200
     # incremental=True (default for chunked models): KV-cached encoder
-    # chunk steps + a (C+2)-frame halo window for the assigner's width-3
-    # SAME conv, so per-push compute is O(C * T_cached) like the CTC
-    # path. False = full recompute per push (the equality oracle).
+    # chunk steps + a (C + 2*ASSIGNER_LOOKAHEAD)-frame halo window for
+    # the assigner's SAME conv, so per-push compute is O(C * T_cached)
+    # like the CTC path. False = full recompute per push (the equality
+    # oracle).
     incremental: bool | None = None
 
     def __post_init__(self):
-        from tpu_asr.models.cif import CifDecoder, CifModel
+        from tpu_asr.models.cif import (ASSIGNER_LOOKAHEAD, CifDecoder,
+                                        CifModel)
         assert self.cfg.model_type == "cif", \
             f"StreamingCIFRecognizer needs model_type=cif " \
             f"(got {self.cfg.model_type})"
@@ -313,9 +323,13 @@ class StreamingCIFRecognizer:
         if self.incremental is None:
             self.incremental = self.cfg.enc_chunk_size > 0
         chunk = self.cfg.enc_chunk_size
-        pad = 4 * chunk + 3 if self.incremental and chunk > 0 else 0
-        self._buf = np.zeros((1, self.max_frames + pad, self.cfg.d_input),
-                             np.float32)
+        # derived, not hardcoded: finality horizon and halo size follow
+        # the assigner's actual conv width (models/cif.py)
+        self._la = ASSIGNER_LOOKAHEAD
+        self._win = (self.cfg.conv_input_window(chunk)
+                     if self.incremental and chunk > 0 else 0)
+        self._buf = np.zeros((1, self.max_frames + self._win,
+                              self.cfg.d_input), np.float32)
         self._n = 0
         self._alpha_done = 0          # alpha frames already integrated
         self._accum = 0.0             # integrate-and-fire carry
@@ -367,14 +381,41 @@ class StreamingCIFRecognizer:
 
     @partial(jax.jit, static_argnums=0)
     def _alpha_window(self, params, rows):
-        """Assigner over a [1, C+2, D] halo window; outputs 1..C are the
-        frames whose width-3 conv context lies fully inside the window."""
+        """Assigner over a [1, C + 2*la, D] halo window; outputs
+        la..C+la-1 are the frames whose conv context lies fully inside
+        the window (la = ASSIGNER_LOOKAHEAD)."""
         def fwd(model, rows):
             a, _ = model.assigner(
                 rows.astype(model.cfg.dtype),
                 jnp.full((1,), rows.shape[1], jnp.int32))
             return a
         return self.model.apply(params, rows, method=fwd)[0]
+
+    @partial(jax.jit, static_argnums=0)
+    def _integrate_fires(self, alphas, enc, start, upto, accum0, acc_vec0):
+        """ONE compiled accumulate-and-fire scan over the whole alpha
+        buffer: frames outside [start, upto) contribute alpha=0 (no-ops),
+        so a single fixed-shape program serves every push. Returns
+        (fire_mask [T], fired_vectors [T, D], accum, acc_vec) — only the
+        per-fired-token decoder step stays on host."""
+        idx = jnp.arange(alphas.shape[0])
+        active = (idx >= start) & (idx < upto)
+        a_seq = jnp.where(active, alphas.astype(jnp.float32), 0.0)
+
+        def step(carry, x):
+            accum, acc_vec = carry
+            a, h = x
+            fire = accum + a >= 1.0
+            a1 = 1.0 - accum              # weight that completes the token
+            fired_vec = acc_vec + a1 * h
+            rest = a - a1
+            new_accum = jnp.where(fire, rest, accum + a)
+            new_vec = jnp.where(fire, rest * h, acc_vec + a * h)
+            return (new_accum, new_vec), (fire, fired_vec)
+
+        (accum, acc_vec), (fires, vecs) = jax.lax.scan(
+            step, (accum0, acc_vec0), (a_seq, enc.astype(jnp.float32)))
+        return fires, vecs, accum, acc_vec
 
     def _enc_len(self, n: int) -> int:
         return max(int(self.cfg.subsampled_length(n)), 0)
@@ -384,12 +425,12 @@ class StreamingCIFRecognizer:
         if chunk <= 0:
             return 0
         final_enc = (self._enc_len(n) // chunk) * chunk
-        return max(final_enc - 1, 0)   # assigner conv: 1-frame lookahead
+        return max(final_enc - self._la, 0)   # assigner conv lookahead
 
     def _store_chunk_rows(self, k: int, el: int):
         chunk = self.cfg.enc_chunk_size
-        start = 4 * k * chunk
-        window = jnp.asarray(self._buf[:, start: start + 4 * chunk + 3])
+        start = self.cfg.conv_total_stride * k * chunk
+        window = jnp.asarray(self._buf[:, start: start + self._win])
         enc_c, self._enc_caches = self._enc_chunk(
             self.params, window, k, el, self._enc_caches)
         lo = k * chunk
@@ -398,16 +439,17 @@ class StreamingCIFRecognizer:
             self._enc_np[max(el, lo): lo + chunk] = 0.0  # zero like offline
 
     def _alpha_pass(self, k: int):
-        """Alphas for frames [k*C - 1, (k+1)*C - 2] from the halo window
-        rows [k*C - 2, (k+1)*C) (zeros outside the stream)."""
+        """Alphas for frames [k*C - la, (k+1)*C - la - 1] from the halo
+        window rows [k*C - 2*la, (k+1)*C) (zeros outside the stream)."""
         chunk = self.cfg.enc_chunk_size
-        c2 = chunk + 2
-        lo = k * chunk - 2
+        la = self._la
+        c2 = chunk + 2 * la
+        lo = k * chunk - 2 * la
         win = np.zeros((1, c2, self.cfg.d_model), np.float32)
         s = max(lo, 0)
         win[0, s - lo: c2] = self._enc_np[s: lo + c2]
         al = np.asarray(self._alpha_window(self.params, jnp.asarray(win)))
-        for i in range(1, chunk + 1):
+        for i in range(la, chunk + la):
             j = lo + i
             if j >= 0:
                 self._alpha_np[j] = al[i]
@@ -440,34 +482,33 @@ class StreamingCIFRecognizer:
         return tok
 
     def _integrate(self, upto: int) -> list[int]:
-        """Sequential accumulate-and-fire over alpha frames
-        [_alpha_done, upto); returns newly emitted tokens."""
+        """Accumulate-and-fire over alpha frames [_alpha_done, upto):
+        ONE jitted scan dispatch per push (TPU), then the per-fired-token
+        decoder loop on host. Returns newly emitted tokens."""
         if upto <= self._alpha_done:
             return []
         if self.incremental:
             self._extend_incremental(upto, self._enc_len(self._n))
-            enc = self._enc_np[self._alpha_done:upto]
-            alphas = self._alpha_np[self._alpha_done:upto].astype(
-                np.float64)
+            enc = jnp.asarray(self._enc_np)
+            alphas = jnp.asarray(self._alpha_np)
         else:
             enc, alphas, _ = self._encode_alphas(
                 self.params,
                 jnp.asarray(self._buf[:, : self.max_frames]), self._n)
-            enc = np.asarray(enc[self._alpha_done:upto])
-            alphas = np.asarray(alphas[self._alpha_done:upto], np.float64)
+        fires, vecs, accum, acc_vec = self._integrate_fires(
+            alphas, enc, self._alpha_done, upto,
+            jnp.float32(self._accum),
+            jnp.asarray(self._acc_vec, jnp.float32))
         out = []
-        for a, h in zip(alphas, enc):
-            if self._accum + a < 1.0:
-                self._accum += a
-                self._acc_vec += a * h
-            else:
-                a1 = 1.0 - self._accum
-                tok = self._emit_token(self._acc_vec + a1 * h)
+        fired_idx = np.nonzero(np.asarray(fires))[0]
+        if fired_idx.size:
+            fired_vecs = np.asarray(vecs)[fired_idx]
+            for v in fired_vecs:
+                tok = self._emit_token(v)
                 if tok is not None:
                     out.append(tok)
-                rest = a - a1
-                self._accum = rest
-                self._acc_vec = rest * h
+        self._accum = float(accum)
+        self._acc_vec = np.asarray(acc_vec, np.float32)
         self._alpha_done = upto
         return out
 

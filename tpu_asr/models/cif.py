@@ -33,6 +33,14 @@ from tpu_asr.ops.losses import (label_smoothing_loss, masked_row_mean,
 from tpu_asr.utils.padding import make_causal_mask, make_valid_mask
 
 
+# Width of the assigner's SAME conv: alpha_j reads encoder frames
+# [j - ASSIGNER_LOOKAHEAD, j + ASSIGNER_LOOKAHEAD]. Streaming finality
+# bookkeeping (decode/streaming.py) derives its halo-window size and
+# final-frame horizon from these — keep them in sync with the Conv below.
+ASSIGNER_CONV_WIDTH = 3
+ASSIGNER_LOOKAHEAD = (ASSIGNER_CONV_WIDTH - 1) // 2
+
+
 class Assigner(nn.Module):
     """Per-frame fire weights: conv over encoder output -> sigmoid scalar."""
     cfg: ModelConfig
@@ -40,7 +48,8 @@ class Assigner(nn.Module):
     @nn.compact
     def __call__(self, enc_out, enc_lengths):
         c = self.cfg
-        h = nn.Conv(c.d_model, (3,), padding="SAME", dtype=c.dtype,
+        h = nn.Conv(c.d_model, (ASSIGNER_CONV_WIDTH,), padding="SAME",
+                    dtype=c.dtype,
                     param_dtype=c.param_dtype, name="conv")(enc_out)
         h = nn.relu(h)
         alphas = nn.sigmoid(

@@ -97,3 +97,27 @@ class ModelConfig:
             t1 = (t - 1) // 2
             return (t1 - 1) // 2
         return (t + self.lfr_n - 1) // self.lfr_n
+
+    # Conv2d front-end geometry, derived from its two k=3 s=2 VALID convs
+    # (models/conv.py). Streaming (decode/streaming.py) uses these to size
+    # its per-chunk feature windows instead of hardcoding 4*C+3 — change
+    # the conv stack and the window arithmetic follows.
+
+    @property
+    def conv_total_stride(self) -> int:
+        """Input frames consumed per encoder output frame step."""
+        assert self.input_layer == "conv2d"
+        return 2 * 2
+
+    @property
+    def conv_receptive_field(self) -> int:
+        """Input frames one encoder output frame depends on."""
+        assert self.input_layer == "conv2d"
+        # k + (k-1)*s for two stacked convs (k=3, s=2)
+        return 3 + (3 - 1) * 2
+
+    def conv_input_window(self, n_out: int) -> int:
+        """Input frames needed to produce n_out encoder output frames
+        starting at an output-frame boundary (= stride*(n-1) + receptive
+        field; 4n+3 for the current stack)."""
+        return self.conv_total_stride * (n_out - 1) + self.conv_receptive_field

@@ -2,18 +2,26 @@
 
 The XLA lax.scan version pays per-iteration while-loop overhead 250+ times
 per decode step — measured ~5 ms/step, the dominant joint-decode cost. This
-kernel runs the whole recursion VMEM-resident per 8-beam tile: carries
-(r_nb, r_b, psi) as [8, K] registers, streams the precomputed per-frame
+kernel runs the whole recursion VMEM-resident per 8-row tile: carries
+(r_nb, r_b, psi) as [8, 128] registers, streams the precomputed per-frame
 inputs, and writes the r histories the beam search gathers from.
 
+Lane packing (round 3): the TPU lane dimension is 128 wide, but K (scored
+candidates per beam) is only 2W+1 — 11 at beam 5, 21 at beam 10. Padding
+each beam's K to 128 wasted >80% of every streamed byte and every history
+write, and the grid (and thus the serial per-tile fori_loop count) grew
+with N = B*W. Instead, p = 128 // K whole beams are PACKED into one
+128-lane row (lane l belongs to beam l // K, candidate l % K), shrinking
+the grid and all HBM traffic by ~p. The recursion is purely elementwise
+over lanes, so packing needs only per-lane xb (blank log-prob) and
+per-lane length masks instead of the old per-row broadcasts.
+
 All vocab-sized work (candidate gather via one-hot einsum, phi computation)
-stays in XLA — the kernel sees only [8, T, K] blocks. Inference-only (no
+stays in XLA — the kernel sees only [8, T, 128] blocks. Inference-only (no
 VJP needed).
 """
 
 from __future__ import annotations
-
-import functools
 
 import jax
 import jax.numpy as jnp
@@ -22,6 +30,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 B_TILE = 8
+LANES = 128
 
 
 def _round_up(x, m):
@@ -36,87 +45,112 @@ def _logaddexp(a, b):
 
 
 def _kernel(xc_ref, phi_ref, xb_ref, rnb0_ref, rb0_ref, psi0_ref, len_ref,
-            psi_ref, nb_hist_ref, b_hist_ref):
-    """xc/phi: [B_TILE, T, K]; xb: [B_TILE, T, 1]; inits: [B_TILE, K];
-    len: [B_TILE, 1]; outputs: psi [B_TILE, K], histories [B_TILE, T, K]."""
+            psi_ref, nb_hist_ref, b_hist_ref, *, write_hist: bool):
+    """xc/phi/xb: [B_TILE, T, L]; inits + len: [B_TILE, L] (per-lane);
+    outputs: psi [B_TILE, L], histories [B_TILE, T, L]."""
     t_total = xc_ref.shape[1]
-    lens = len_ref[:]                                   # [B, 1]
+    lens = len_ref[:]                                   # [B, L]
 
-    nb_hist_ref[:, 0, :] = rnb0_ref[:]
-    b_hist_ref[:, 0, :] = rb0_ref[:]
+    if write_hist:
+        nb_hist_ref[:, 0, :] = rnb0_ref[:]
+        b_hist_ref[:, 0, :] = rb0_ref[:]
 
     def body(t, carry):
         r_nb, r_b, psi = carry
         xc = xc_ref[:, t, :]
         phi_tm1 = phi_ref[:, t - 1, :]
-        xb = xb_ref[:, t, :]                            # [B, 1]
+        xb = xb_ref[:, t, :]                            # [B, L]
         new_nb = _logaddexp(r_nb, phi_tm1) + xc
         new_b = _logaddexp(r_nb, r_b) + xb
         new_psi = _logaddexp(psi, phi_tm1 + xc)
-        active = t < lens                               # [B, 1]
+        active = t < lens                               # [B, L]
         r_nb = jnp.where(active, new_nb, r_nb)
         r_b = jnp.where(active, new_b, r_b)
         psi = jnp.where(active, new_psi, psi)
-        nb_hist_ref[:, t, :] = r_nb
-        b_hist_ref[:, t, :] = r_b
+        if write_hist:
+            nb_hist_ref[:, t, :] = r_nb
+            b_hist_ref[:, t, :] = r_b
         return r_nb, r_b, psi
 
     r_nb, r_b, psi = jax.lax.fori_loop(
         1, t_total, body, (rnb0_ref[:], rb0_ref[:], psi0_ref[:]))
     psi_ref[:] = psi
+    if not write_hist:
+        # dummy 1-frame outputs (kept so both variants share one signature)
+        nb_hist_ref[:, 0, :] = r_nb
+        b_hist_ref[:, 0, :] = r_b
 
 
 def ctc_prefix_scan_pallas(x_cand, phi, x_blank, r_nb0, r_b0, psi0,
-                           lengths, interpret: bool | None = None):
+                           lengths, interpret: bool | None = None,
+                           return_hist: bool = True):
     """Run the prefix recursion for K candidates per beam.
 
     x_cand/phi: [N, T, K]; x_blank: [N, T]; inits: [N, K]; lengths [N].
-    Returns (psi [N, K], nb_hist [N, T, K], b_hist [N, T, K]).
+    Returns (psi [N, K], nb_hist [N, T, K], b_hist [N, T, K]); histories
+    are None when return_hist=False (the cheap score-only pass — skips
+    the two [N, T, K] HBM write streams entirely).
     """
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, t, k = x_cand.shape
-    n_pad = _round_up(n, B_TILE)
-    k_pad = _round_up(k, 128)
+    p = max(1, LANES // k)                 # beams packed per 128-lane row
+    n_rows = _round_up(-(-n // p), B_TILE)  # row tiles of packed beams
+    n_pack = n_rows * p
+    lanes = _round_up(p * k, LANES)
 
-    def pad(x, fill):
-        widths = [(0, n_pad - n)] + [(0, 0)] * (x.ndim - 1)
-        x = jnp.pad(x, widths, constant_values=fill)
-        if x.shape[-1] == k:
-            x = jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, k_pad - k)],
-                        constant_values=fill)
-        return x
+    def pack(x, fill, per_lane=False):
+        """[N, ...] (last dim K, or none when per_lane) -> packed rows
+        [n_rows, ..., lanes] with beam l//K on lane block l//K*K."""
+        x = jnp.pad(x, [(0, n_pack - n)] + [(0, 0)] * (x.ndim - 1),
+                    constant_values=fill)
+        if per_lane:                       # [N_pack, ...] -> repeat over K
+            x = jnp.repeat(x[..., None], k, axis=-1)
+        # [n_rows, p, ..., k] -> [n_rows, ..., p, k] -> [n_rows, ..., p*k]
+        x = x.reshape(n_rows, p, *x.shape[1:])
+        x = jnp.moveaxis(x, 1, -2)
+        x = x.reshape(*x.shape[:-2], p * k)
+        return jnp.pad(x, [(0, 0)] * (x.ndim - 1) + [(0, lanes - p * k)],
+                       constant_values=fill)
 
-    xc = pad(x_cand, NEG_INF)
-    ph = pad(phi, NEG_INF)
-    xb = pad(x_blank, NEG_INF)[:, :, None]    # [N, T, 1]
-    nb0 = pad(r_nb0, NEG_INF)
-    b0 = pad(r_b0, NEG_INF)
-    p0 = pad(psi0, NEG_INF)
-    ln = pad(lengths.astype(jnp.int32)[:, None], 1)
+    xc = pack(x_cand, NEG_INF)                          # [R, T, L]
+    ph = pack(phi, NEG_INF)
+    xb = pack(x_blank, NEG_INF, per_lane=True)          # [R, T, L]
+    nb0 = pack(r_nb0, NEG_INF)                          # [R, L]
+    b0 = pack(r_b0, NEG_INF)
+    p0 = pack(psi0, NEG_INF)
+    ln = pack(lengths.astype(jnp.int32), 1, per_lane=True)  # [R, L]
 
-    grid = (n_pad // B_TILE,)
-    bspec3 = lambda: pl.BlockSpec((B_TILE, t, k_pad), lambda i: (i, 0, 0),
+    grid = (n_rows // B_TILE,)
+    t_hist = t if return_hist else 1
+    bspec3 = lambda tt: pl.BlockSpec((B_TILE, tt, lanes),
+                                     lambda i: (i, 0, 0),
+                                     memory_space=pltpu.VMEM)
+    bspec2 = lambda: pl.BlockSpec((B_TILE, lanes), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
-    bspec2k = lambda: pl.BlockSpec((B_TILE, k_pad), lambda i: (i, 0),
-                                   memory_space=pltpu.VMEM)
+    import functools
     psi, nb_hist, b_hist = pl.pallas_call(
-        _kernel,
+        functools.partial(_kernel, write_hist=return_hist),
         grid=grid,
-        in_specs=[
-            bspec3(), bspec3(),
-            pl.BlockSpec((B_TILE, t, 1), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            bspec2k(), bspec2k(), bspec2k(),
-            pl.BlockSpec((B_TILE, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[bspec2k(), bspec3(), bspec3()],
+        in_specs=[bspec3(t), bspec3(t), bspec3(t),
+                  bspec2(), bspec2(), bspec2(), bspec2()],
+        out_specs=[bspec2(), bspec3(t_hist), bspec3(t_hist)],
         out_shape=[
-            jax.ShapeDtypeStruct((n_pad, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, t, k_pad), jnp.float32),
-            jax.ShapeDtypeStruct((n_pad, t, k_pad), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, t_hist, lanes), jnp.float32),
+            jax.ShapeDtypeStruct((n_rows, t_hist, lanes), jnp.float32),
         ],
         interpret=interpret,
     )(xc, ph, xb, nb0, b0, p0, ln)
-    return psi[:n, :k], nb_hist[:n, :, :k], b_hist[:n, :, :k]
+
+    def unpack(x):
+        """[n_rows, ..., lanes] -> [N, ..., K]."""
+        x = x[..., : p * k]
+        x = x.reshape(*x.shape[:-1], p, k)
+        x = jnp.moveaxis(x, -2, 1)
+        x = x.reshape(n_pack, *x.shape[2:])
+        return x[:n]
+
+    if not return_hist:
+        return unpack(psi), None, None
+    return unpack(psi), unpack(nb_hist), unpack(b_hist)
