@@ -23,6 +23,13 @@ import jax.numpy as jnp
 from tpu_asr.decode.ctc_prefix import CTCPrefixScorer
 
 NEG_INF = -1e30
+# auto threshold for BeamConfig.ctc_two_pass=None. Measured on v5e
+# (AISHELL-shaped workload, lane-packed Pallas scorer): one-pass wins at
+# BOTH beam 5 (511x vs 444x) and beam 10 (314x vs 276x) — the second
+# sequential K=1 scan costs more than the K-history traffic it saves, so
+# auto never picks two-pass on this hardware; the knob remains for wider
+# beams / longer T where the traffic term grows.
+CTC_TWO_PASS_BEAM = 10_000
 
 
 @dataclasses.dataclass(frozen=True)
@@ -43,6 +50,14 @@ class BeamConfig:
     # drops too-short ended hyps; masking is the in-beam equivalent).
     maxlenratio: float = 0.0
     minlenratio: float = 0.0
+    # Joint-scoring execution strategy. One-pass scores all K candidates
+    # AND materializes their [N, K, T, 2] r histories, then gathers the
+    # winners; two-pass scores without histories and re-advances only the
+    # W selected tokens (a second K=1 scan). History traffic grows with
+    # K = 2W+1, so one-pass wins at small beams (measured r2: 807x vs
+    # 702x at W=5) and two-pass at wide beams. None = auto (two-pass for
+    # beam >= CTC_TWO_PASS_BEAM).
+    ctc_two_pass: bool | None = None
 
 
 def _tile_beams(x, w):
@@ -87,11 +102,13 @@ def attention_beam_search(
     if use_ctc:
         assert ctc_logp is not None, "joint scoring needs ctc log-probs"
         scorer = CTCPrefixScorer(
-            _tile_beams(ctc_logp, w), enc_lengths_flat, blank=0, eos=eos_id)
+            ctc_logp, enc_lengths_flat, blank=0, eos=eos_id, beams=w)
         ctc_state = scorer.init_state()
     k_cand = cfg.ctc_cand or 2 * w
     if ctc_logp is not None:
         k_cand = min(k_cand, ctc_logp.shape[-1])
+    two_pass = (cfg.ctc_two_pass if cfg.ctc_two_pass is not None
+                else w >= CTC_TWO_PASS_BEAM)
 
     def dec_step(y_prev, pos, cache):
         return decoder.apply(dec_params, y_prev, pos, cache, cross_kv,
@@ -133,11 +150,13 @@ def attention_beam_search(
             cand_logp = jnp.concatenate(
                 [cand_logp, att_logp[:, eos_id][:, None]], axis=1)
             is_first = jnp.full((n,), False) | (pos == 0)
-            # One scan scores all K candidates AND materializes their r
-            # histories; selecting afterwards beats a second advance-scan
-            # for the chosen tokens (sequential latency dominates traffic
-            # at these sizes — measured 807x vs 702x inverse-RTF).
-            psi, new_r = scorer.score(cand_ids, y_prev, is_first, ctc_state)
+            # Strategy per BeamConfig.ctc_two_pass: one-pass materializes
+            # all K r histories in the scoring scan (sequential latency
+            # dominates at small beams — measured 807x vs 702x at W=5);
+            # two-pass skips them and re-advances only the W winners
+            # (history traffic grows with K, wins at wide beams).
+            psi, new_r = scorer.score(cand_ids, y_prev, is_first, ctc_state,
+                                      return_r=not two_pass)
             _, psi_prev = ctc_state
             step_score = ((1.0 - lam) * cand_logp
                           + lam * (psi - psi_prev[:, None]))      # [N, K+1]
@@ -163,18 +182,25 @@ def attention_beam_search(
             tok = jnp.take_along_axis(
                 cand_ids[flat_beam].reshape(b, w, k_tot),
                 slot_idx[..., None], axis=2)[..., 0]              # [B, W]
-            # gather ctc states for the chosen (beam, slot)
-            new_r_sel = new_r[flat_beam].reshape(b, w, k_tot, t, 2)
-            r_next = jnp.take_along_axis(
-                new_r_sel, slot_idx[:, :, None, None, None], axis=2
-            )[:, :, 0].reshape(n, t, 2)
             psi_sel = jnp.take_along_axis(
                 psi[flat_beam].reshape(b, w, k_tot),
                 slot_idx[..., None], axis=2)[..., 0].reshape(n)
-            # finished/eos beams keep their old prefix state
             old_r, old_psi = ctc_state
             old_r_g = old_r[flat_beam]
             old_psi_g = old_psi[flat_beam]
+            if two_pass:
+                # re-advance ONLY the selected tokens (K=1 scan) instead
+                # of having materialized+gathered all K histories
+                y_last_g = y_prev[flat_beam]
+                r_next, _ = scorer.advance(tok.reshape(n), y_last_g,
+                                           is_first, (old_r_g, old_psi_g))
+            else:
+                # gather ctc states for the chosen (beam, slot)
+                new_r_sel = new_r[flat_beam].reshape(b, w, k_tot, t, 2)
+                r_next = jnp.take_along_axis(
+                    new_r_sel, slot_idx[:, :, None, None, None], axis=2
+                )[:, :, 0].reshape(n, t, 2)
+            # finished/eos beams keep their old prefix state
             was_finished = finished.reshape(b, w)
             was_finished_g = jnp.take_along_axis(was_finished, beam_idx,
                                                  axis=1).reshape(n)

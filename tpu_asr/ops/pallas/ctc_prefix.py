@@ -29,8 +29,20 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
-B_TILE = 8
+B_TILE = 8            # minimum row tile (f32 sublane quantum)
 LANES = 128
+VMEM_BUDGET = 12 * 1024 * 1024   # bytes of f32 streams per tile
+
+
+def _pick_b_tile(t: int, n_streams: int) -> int:
+    """Widest row tile whose f32 streams fit the VMEM budget: fewer grid
+    tiles = fewer serial 250-iteration fori_loops (the kernel's critical
+    path is loop count, not lane math)."""
+    tile = B_TILE
+    while (tile * 2 * n_streams * t * LANES * 4 <= VMEM_BUDGET
+           and tile < 64):
+        tile *= 2
+    return tile
 
 
 def _round_up(x, m):
@@ -38,16 +50,27 @@ def _round_up(x, m):
 
 
 def _logaddexp(a, b):
+    # m + log1p(exp(-|a-b|)): one transcendental pair instead of two exps
+    # + a log — the 250-iteration recursion runs 3 of these per step, so
+    # the VPU transcendental count is the loop's critical path.
     m = jnp.maximum(a, b)
-    m_safe = jnp.maximum(m, NEG_INF)
-    out = m_safe + jnp.log(jnp.exp(a - m_safe) + jnp.exp(b - m_safe))
+    d = -jnp.abs(a - b)
+    out = m + jnp.log1p(jnp.exp(jnp.maximum(d, NEG_INF)))
     return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
+
+
+# time steps per fori_loop iteration: the recursion is ~30 vector ops on
+# [tile, 128] f32 per step, so per-iteration loop control dominates
+# (~5.4 us/iter at U=1 on v5e). Mosaic's fori_loop only supports
+# unroll=1/full, so the unroll is manual: T is host-padded so that
+# (T-1) % UNROLL == 0 and each iteration advances UNROLL steps.
+UNROLL = 4
 
 
 def _kernel(xc_ref, phi_ref, xb_ref, rnb0_ref, rb0_ref, psi0_ref, len_ref,
             psi_ref, nb_hist_ref, b_hist_ref, *, write_hist: bool):
-    """xc/phi/xb: [B_TILE, T, L]; inits + len: [B_TILE, L] (per-lane);
-    outputs: psi [B_TILE, L], histories [B_TILE, T, L]."""
+    """xc/phi/xb: [tile, T, L]; inits + len: [tile, L] (per-lane);
+    outputs: psi [tile, L], histories [tile, T, L]."""
     t_total = xc_ref.shape[1]
     lens = len_ref[:]                                   # [B, L]
 
@@ -55,7 +78,7 @@ def _kernel(xc_ref, phi_ref, xb_ref, rnb0_ref, rb0_ref, psi0_ref, len_ref,
         nb_hist_ref[:, 0, :] = rnb0_ref[:]
         b_hist_ref[:, 0, :] = rb0_ref[:]
 
-    def body(t, carry):
+    def one(t, carry):
         r_nb, r_b, psi = carry
         xc = xc_ref[:, t, :]
         phi_tm1 = phi_ref[:, t - 1, :]
@@ -72,8 +95,15 @@ def _kernel(xc_ref, phi_ref, xb_ref, rnb0_ref, rb0_ref, psi0_ref, len_ref,
             b_hist_ref[:, t, :] = r_b
         return r_nb, r_b, psi
 
+    def body(i, carry):
+        for j in range(UNROLL):
+            carry = one(1 + i * UNROLL + j, carry)
+        return carry
+
+    assert (t_total - 1) % UNROLL == 0, t_total
     r_nb, r_b, psi = jax.lax.fori_loop(
-        1, t_total, body, (rnb0_ref[:], rb0_ref[:], psi0_ref[:]))
+        0, (t_total - 1) // UNROLL, body,
+        (rnb0_ref[:], rb0_ref[:], psi0_ref[:]))
     psi_ref[:] = psi
     if not write_hist:
         # dummy 1-frame outputs (kept so both variants share one signature)
@@ -94,8 +124,17 @@ def ctc_prefix_scan_pallas(x_cand, phi, x_blank, r_nb0, r_b0, psi0,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
     n, t, k = x_cand.shape
+    # pad time so the kernel's manual UNROLL divides the step count;
+    # padded frames sit past every length and leave the carries unchanged
+    t_pad = t if t <= 1 else 1 + _round_up(t - 1, UNROLL)
+    if t_pad != t:
+        tp = [(0, 0), (0, t_pad - t)]
+        x_cand = jnp.pad(x_cand, tp + [(0, 0)], constant_values=NEG_INF)
+        phi = jnp.pad(phi, tp + [(0, 0)], constant_values=NEG_INF)
+        x_blank = jnp.pad(x_blank, tp, constant_values=NEG_INF)
     p = max(1, LANES // k)                 # beams packed per 128-lane row
-    n_rows = _round_up(-(-n // p), B_TILE)  # row tiles of packed beams
+    b_tile = _pick_b_tile(t_pad, 3 + (2 if return_hist else 0))
+    n_rows = _round_up(-(-n // p), b_tile)  # row tiles of packed beams
     n_pack = n_rows * p
     lanes = _round_up(p * k, LANES)
 
@@ -121,18 +160,18 @@ def ctc_prefix_scan_pallas(x_cand, phi, x_blank, r_nb0, r_b0, psi0,
     p0 = pack(psi0, NEG_INF)
     ln = pack(lengths.astype(jnp.int32), 1, per_lane=True)  # [R, L]
 
-    grid = (n_rows // B_TILE,)
-    t_hist = t if return_hist else 1
-    bspec3 = lambda tt: pl.BlockSpec((B_TILE, tt, lanes),
+    grid = (n_rows // b_tile,)
+    t_hist = t_pad if return_hist else 1
+    bspec3 = lambda tt: pl.BlockSpec((b_tile, tt, lanes),
                                      lambda i: (i, 0, 0),
                                      memory_space=pltpu.VMEM)
-    bspec2 = lambda: pl.BlockSpec((B_TILE, lanes), lambda i: (i, 0),
+    bspec2 = lambda: pl.BlockSpec((b_tile, lanes), lambda i: (i, 0),
                                   memory_space=pltpu.VMEM)
     import functools
     psi, nb_hist, b_hist = pl.pallas_call(
         functools.partial(_kernel, write_hist=return_hist),
         grid=grid,
-        in_specs=[bspec3(t), bspec3(t), bspec3(t),
+        in_specs=[bspec3(t_pad), bspec3(t_pad), bspec3(t_pad),
                   bspec2(), bspec2(), bspec2(), bspec2()],
         out_specs=[bspec2(), bspec3(t_hist), bspec3(t_hist)],
         out_shape=[
@@ -144,8 +183,10 @@ def ctc_prefix_scan_pallas(x_cand, phi, x_blank, r_nb0, r_b0, psi0,
     )(xc, ph, xb, nb0, b0, p0, ln)
 
     def unpack(x):
-        """[n_rows, ..., lanes] -> [N, ..., K]."""
+        """[n_rows, ..., lanes] -> [N, ..., K] (time sliced back to t)."""
         x = x[..., : p * k]
+        if x.ndim == 3:
+            x = x[:, :t]
         x = x.reshape(*x.shape[:-1], p, k)
         x = jnp.moveaxis(x, -2, 1)
         x = x.reshape(n_pack, *x.shape[2:])
