@@ -21,6 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from tpu_asr.decode.ctc_prefix import CTCPrefixScorer
+from tpu_asr.ops.topk import exact_top_k
 
 NEG_INF = -1e30
 # auto threshold for BeamConfig.ctc_two_pass=None. Measured on v5e
@@ -115,8 +116,23 @@ def attention_beam_search(
                              enc_lengths_flat, method=type(decoder).step)
 
     def gather_beams(tree, beam_idx):
-        """Reorder [B*W, ...] state by per-batch beam indices [B, W]."""
+        """Reorder [B*W, ...] state by per-batch beam indices [B, W].
+
+        Large float leaves (the KV caches) use a one-hot permutation
+        matmul instead of take_along_axis: inside the scan XLA lowers the
+        small-domain beam gather to W-way select chains (~1.7 ms/step at
+        W=10 across the 12 cache tensors, the top post-top_k cost in the
+        beam-10 trace), while the MXU permutation streams at memory
+        bandwidth. Exact: one-hot rows select a single element; f32
+        accumulation of one nonzero product is the element itself.
+        """
+        perm = jax.nn.one_hot(beam_idx, w, axis=-1)       # [B, W, W]
         def g(x):
+            if (jnp.issubdtype(x.dtype, jnp.floating)
+                    and x.size // n >= 512):
+                xr = x.reshape(b, w, -1)
+                out = jnp.einsum("bwv,bvf->bwf", perm.astype(x.dtype), xr)
+                return out.reshape(x.shape)
             xr = x.reshape(b, w, *x.shape[1:])
             idx = beam_idx.reshape(b, w, *([1] * (x.ndim - 1)))
             return jnp.take_along_axis(xr, idx, axis=1).reshape(x.shape)
@@ -144,7 +160,7 @@ def attention_beam_search(
 
         if use_ctc:
             # Top-K att candidates per beam (+ eos forced into the set).
-            cand_logp, cand_ids = jax.lax.top_k(att_logp, k_cand)  # [N, K]
+            cand_logp, cand_ids = exact_top_k(att_logp, k_cand)  # [N, K]
             cand_ids = jnp.concatenate(
                 [cand_ids, jnp.full((n, 1), eos_id, cand_ids.dtype)], axis=1)
             cand_logp = jnp.concatenate(
@@ -175,7 +191,7 @@ def attention_beam_search(
                 jnp.where(eos_slot, 0.0, NEG_INF), step_score)
             cand = scores.reshape(n)[:, None] + step_score
             cand = cand.reshape(b, w * k_tot)
-            top_scores, top_idx = jax.lax.top_k(cand, w)          # [B, W]
+            top_scores, top_idx = exact_top_k(cand, w)          # [B, W]
             beam_idx = top_idx // k_tot
             slot_idx = top_idx % k_tot
             flat_beam = (jnp.arange(b)[:, None] * w + beam_idx).reshape(n)
@@ -217,7 +233,7 @@ def attention_beam_search(
             eos_forced = jnp.where(is_eos_col, 0.0, NEG_INF)
             logp = jnp.where(ended[..., None], eos_forced, logp)
             cand = (scores[..., None] + logp).reshape(b, w * v)
-            top_scores, top_idx = jax.lax.top_k(cand, w)
+            top_scores, top_idx = exact_top_k(cand, w)
             beam_idx = top_idx // v
             tok = top_idx % v
 

@@ -16,6 +16,7 @@ import jax.numpy as jnp
 from tpu_asr.models.cif import CifDecoder, CifModel
 from tpu_asr.ops.cif import cif_fire, fire_count
 from tpu_asr.utils.padding import make_valid_mask
+from tpu_asr.ops.topk import exact_top_k
 
 
 def _encode_and_fire(model, params, feats, feat_lengths, max_len,
@@ -88,7 +89,7 @@ def cif_beam_decode(
         eos_forced = jnp.where(jnp.arange(v)[None, :] == eos, 0.0, neg_inf)
         logp = jnp.where(done, eos_forced, logp)
         cand = (scores.reshape(n)[:, None] + logp).reshape(b, w * v)
-        top_scores, top_idx = jax.lax.top_k(cand, w)
+        top_scores, top_idx = exact_top_k(cand, w)
         beam_idx = top_idx // v
         tok = (top_idx % v).astype(jnp.int32)
         cache = gather_beams(cache, beam_idx)

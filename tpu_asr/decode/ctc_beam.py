@@ -27,6 +27,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+from tpu_asr.ops.topk import exact_top_k
 
 NEG_INF = -1e30
 
@@ -75,7 +76,7 @@ def beam_advance(state, logp, frame_valid, topk: int = 8, blank: int = 0):
 
         # extend candidates: top-K non-blank tokens per frame
         lp_nb = lp.at[:, blank].set(NEG_INF)
-        top_lp, top_c = jax.lax.top_k(lp_nb, k)   # [B, K]
+        top_lp, top_c = exact_top_k(lp_nb, k)   # [B, K]
         c = jnp.broadcast_to(top_c[:, None, :], (b, w, k))       # [B,W,K]
         clp = jnp.broadcast_to(top_lp[:, None, :], (b, w, k))
         same = c == last[..., None]
@@ -117,7 +118,7 @@ def beam_advance(state, logp, frame_valid, topk: int = 8, blank: int = 0):
         cand_pnb = jnp.where(is_first, merged_pnb, NEG_INF)
 
         cand_total = _logaddexp(cand_pb, cand_pnb)
-        top_scores, top_idx = jax.lax.top_k(cand_total, w)       # [B, W]
+        top_scores, top_idx = exact_top_k(cand_total, w)       # [B, W]
 
         def pick(x):
             return jnp.take_along_axis(
