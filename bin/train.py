@@ -61,6 +61,9 @@ def parse_args():
                         "if unset, 0 = full context)")
     p.add_argument("--enc-left-chunks", type=int, default=-2,
                    help="bounded left context in chunks (-1 = unlimited)")
+    p.add_argument("--specaug-warp", type=int, default=-1,
+                   help="SpecAugment time-warp window W (0 = masking only, "
+                        "the reference behavior; -1 = preset default)")
     p.add_argument("--prng-impl", default="rbg",
                    help="PRNG for dropout/specaug; rbg is ~1.5x faster "
                         "train steps on TPU than threefry")
@@ -115,6 +118,9 @@ def main():
         tc = dataclasses.replace(tc, lr_k=args.lr_k)
     if args.print_freq:
         tc = dataclasses.replace(tc, print_freq=args.print_freq)
+    if args.specaug_warp >= 0 and tc.specaug is not None:
+        tc = dataclasses.replace(tc, specaug=dataclasses.replace(
+            tc.specaug, time_warp_window=args.specaug_warp))
 
     if args.synthetic:
         from tpu_asr.data.synthetic import make_synthetic_dataset

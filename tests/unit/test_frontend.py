@@ -94,3 +94,44 @@ def test_spec_augment_shapes(rng):
     # Some but not all values masked
     zeroed = np.asarray(out == 0).mean()
     assert 0.0 < zeroed < 0.9
+
+
+def test_time_warp_properties(rng):
+    import jax
+    from tpu_asr.augment import _time_warp, spec_augment, SpecAugmentConfig
+    b, t, d = 4, 100, 8
+    feats = jnp.asarray(rng.standard_normal((b, t, d)).astype(np.float32))
+    lengths = jnp.asarray([100, 60, 10, 37])
+    feats = feats * (np.arange(t)[None, :, None] < np.asarray(lengths)[:, None, None])
+    out = np.asarray(_time_warp(jax.random.PRNGKey(3), feats, lengths, 5))
+    fin = np.asarray(feats)
+    assert out.shape == fin.shape
+    # frames past the valid length untouched; warp endpoints anchored
+    for i, L in enumerate([100, 60, 10, 37]):
+        assert np.array_equal(out[i, L:], fin[i, L:])
+        np.testing.assert_allclose(out[i, 0], fin[i, 0], rtol=1e-6)
+        np.testing.assert_allclose(out[i, L - 1], fin[i, L - 1], rtol=1e-5)
+    # utterance 2 (len 10 <= 2W+1): identity
+    assert np.array_equal(out[2], fin[2])
+    # lerp stays inside the per-feature envelope
+    assert out.max() <= fin.max() + 1e-5 and out.min() >= fin.min() - 1e-5
+    # something actually moved on the long utterances (overwhelmingly likely)
+    assert not np.array_equal(out[0, :100], fin[0, :100])
+    # full spec_augment with warp enabled runs under jit, keeps shape
+    cfg = SpecAugmentConfig(time_warp_window=5)
+    out2 = jax.jit(lambda k, f, l: spec_augment(k, f, l, cfg))(
+        jax.random.PRNGKey(0), feats, lengths)
+    assert out2.shape == feats.shape
+
+
+def test_time_warp_ramp_monotonic(rng):
+    import jax
+    from tpu_asr.augment import _time_warp
+    # a linear time ramp must stay monotonically non-decreasing under the
+    # piecewise-linear warp (the index map is monotonic)
+    t = 80
+    ramp = jnp.broadcast_to(jnp.arange(t, dtype=jnp.float32)[None, :, None],
+                            (2, t, 3))
+    lengths = jnp.asarray([80, 80])
+    out = np.asarray(_time_warp(jax.random.PRNGKey(11), ramp, lengths, 8))
+    assert (np.diff(out[:, :, 0], axis=1) >= -1e-4).all()
