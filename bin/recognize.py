@@ -37,7 +37,7 @@ def parse_args():
     p.add_argument("--output", default="")
     p.add_argument("--mode", default="",
                    choices=["", "greedy_ctc", "ctc_beam", "beam", "joint",
-                            "cif_greedy", "cif_beam"])
+                            "attn_rescore", "cif_greedy", "cif_beam"])
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--nbest", type=int, default=1)
     p.add_argument("--max-len", type=int, default=100)
@@ -150,7 +150,8 @@ def main():
                                      maxlenratio=args.maxlenratio,
                                      minlenratio=args.minlenratio,
                                      ctc_weight=args.ctc_weight
-                                     if mode == "joint" else 0.0),
+                                     if mode in ("joint", "attn_rescore")
+                                     else 0.0),
                      mode=mode, frontend=frontend,
                      cif_scale_fire=(args.cif_fire == "scaled"))
 

@@ -78,6 +78,18 @@ def test_prepare_train_recognize_score(tmp_path):
     score = json.loads(out.stdout.strip().split("\n")[-1])
     assert abs(score["cer"] - summary["cer"]) < 1e-6, (score, summary)
 
+    # two-pass attention rescoring (CTC n-best + one teacher-forced
+    # decoder pass) must decode the overfit set near-exactly too
+    hyp2 = tmp_path / "hyp_rescore.jsonl"
+    out = run_cli("recognize.py", "--ckpt", str(exp), "--restore", "latest",
+                  "--manifest", str(tmp_path / "train.jsonl"),
+                  "--mode", "attn_rescore", "--beam", "5",
+                  "--max-len", "24", "--ctc-weight", "0.5",
+                  "--output", str(hyp2), "--platform", "cpu")
+    summary2 = json.loads(out.stdout.strip().split("\n")[-1])
+    assert summary2["mode"] == "attn_rescore"
+    assert summary2["cer"] < 0.05, summary2
+
 
 def test_streaming_pipeline(tmp_path):
     """Chunk-masked training -> checkpoint averaging -> streaming demo:

@@ -260,3 +260,47 @@ def test_cif_greedy_decode(rng):
     assert (lengths <= 10).all()
     for i in range(b):
         assert (np.asarray(tokens)[i, lengths[i]:] == -1).all()
+
+
+def test_attn_rescore_matches_host_rescoring(rng):
+    """attn_rescore final scores == teacher-forced host rescoring of the
+    CTC prefix-beam n-best + ctc_weight * CTC prefix score."""
+    from tpu_asr.decode.ctc_beam import ctc_prefix_beam_search
+    from tpu_asr.decode.rescore import attention_rescore
+
+    model, params, enc_out, el = _setup_model(rng)
+    dec = Decoder(CFG)
+    dp = {"params": params["params"]["decoder"]}
+    ctc_logits = model.apply(params, enc_out, method=Transformer.ctc_logits)
+    w, lam = 3, 0.4
+    max_len = 8
+    out = attention_rescore(dec, dp, enc_out, el, ctc_logits, SOS, EOS,
+                            beam=w, max_len=max_len, ctc_weight=lam)
+    l_eff = min(max_len, ctc_logits.shape[1])
+    toks, lens, ctc_scores = ctc_prefix_beam_search(
+        ctc_logits, el, beam=w, max_len=l_eff)
+    # independent expected score per n-best hypothesis
+    expected = {}
+    for b in range(enc_out.shape[0]):
+        for k in range(w):
+            sc = float(ctc_scores[b, k])
+            if sc <= -1e29:
+                continue
+            L = int(lens[b, k])
+            att = _rescore(model, params, enc_out[b:b + 1], el[b:b + 1],
+                           np.asarray(toks[b, k]), L, l_eff)
+            key = (b, tuple(int(t) for t in np.asarray(toks[b, k])[:L]))
+            expected[key] = att + lam * sc
+    checked = 0
+    for b in range(enc_out.shape[0]):
+        s = np.asarray(out["scores"][b])
+        assert (np.diff(s) <= 1e-5).all()          # sorted best-first
+        for k in range(w):
+            if s[k] <= -1e29:
+                continue
+            L = int(out["lengths"][b, k])
+            key = (b, tuple(int(t) for t in np.asarray(out["tokens"][b, k])[:L]))
+            np.testing.assert_allclose(s[k], expected[key], rtol=1e-4,
+                                       atol=1e-4)
+            checked += 1
+    assert checked >= enc_out.shape[0]             # at least 1-best each

@@ -29,7 +29,7 @@ class Recognizer:
     cfg: ModelConfig
     params: dict
     beam: BeamConfig = BeamConfig()
-    mode: str = "beam"  # greedy_ctc | ctc_beam | beam | joint | cif_greedy | cif_beam
+    mode: str = "beam"  # greedy_ctc | ctc_beam | beam | joint | attn_rescore | cif_greedy | cif_beam
     frontend: FrontendConfig = FrontendConfig()
     # CIF fire-time alpha handling: True = self-scale to the rounded fire
     # count (train/inference boundary-geometry consistency); False = the
@@ -38,11 +38,14 @@ class Recognizer:
 
     def __post_init__(self):
         assert self.mode in ("greedy_ctc", "ctc_beam", "beam", "joint",
-                             "cif_greedy", "cif_beam")
+                             "attn_rescore", "cif_greedy", "cif_beam")
         mt = self.cfg.model_type
         if self.mode in ("greedy_ctc", "ctc_beam", "joint"):
             assert mt in ("ctc", "hybrid"), \
                 f"mode {self.mode} needs a CTC head (model_type={mt})"
+        if self.mode == "attn_rescore":
+            assert mt == "hybrid", \
+                f"mode attn_rescore needs CTC head + decoder (model_type={mt})"
         if self.mode in ("beam", "joint"):
             assert mt in ("transformer", "hybrid"), \
                 f"mode {self.mode} needs an attention decoder (model_type={mt})"
@@ -92,6 +95,23 @@ class Recognizer:
         return {"tokens": toks, "lengths": lens, "scores": scores}
 
     @partial(jax.jit, static_argnums=0)
+    def _attn_rescore(self, params, batch):
+        """Two-pass decode: CTC prefix beam n-best, rescored by ONE
+        batched teacher-forced decoder pass (no autoregressive loop)."""
+        from tpu_asr.decode.rescore import attention_rescore
+        feats, flens = self._features(batch)
+        enc_out, el = self.model.apply(params, feats, flens,
+                                       method=Transformer.encode)
+        logits = self.model.apply(params, enc_out,
+                                  method=Transformer.ctc_logits)
+        dec = Decoder(self.cfg)
+        dp = {"params": params["params"]["decoder"]}
+        return attention_rescore(
+            dec, dp, enc_out, el, logits, self.cfg.vocab_size - 2,
+            self.cfg.vocab_size - 1, beam=self.beam.beam,
+            max_len=self.beam.max_len, ctc_weight=self.beam.ctc_weight)
+
+    @partial(jax.jit, static_argnums=0)
     def _beam(self, params, batch):
         feats, flens = self._features(batch)
         enc_out, el = self.model.apply(params, feats, flens,
@@ -135,9 +155,11 @@ class Recognizer:
             return [int(t) for t in row[:length]
                     if int(t) >= 0 and int(t) != eos]
 
-        if self.mode in ("beam", "joint", "ctc_beam"):
-            out = (self._ctc_beam if self.mode == "ctc_beam"
-                   else self._beam)(self.params, arrays)
+        if self.mode in ("beam", "joint", "ctc_beam", "attn_rescore"):
+            fn = {"ctc_beam": self._ctc_beam,
+                  "attn_rescore": self._attn_rescore}.get(self.mode,
+                                                          self._beam)
+            out = fn(self.params, arrays)
             toks = np.asarray(out["tokens"])           # [B, W, L]
             lens = np.asarray(out["lengths"])
             scores = np.asarray(out["scores"])
