@@ -221,6 +221,9 @@ def main():
     greedy_rtf = bench_decode_tpu(cfg, params, batches, audio_s,
                                   mode="greedy_ctc")
     log(f"tpu greedy-CTC decode inverse-RTF: {greedy_rtf:.1f}")
+    rescore_rtf = bench_decode_tpu(cfg, params, batches, audio_s,
+                                   mode="attn_rescore", beam=10)
+    log(f"tpu attn-rescore-10 decode inverse-RTF: {rescore_rtf:.1f}")
 
     try:
         torch_inv_rtf = bench_torch_baseline(cfg, params)
@@ -257,6 +260,7 @@ def main():
             "train_batch": {"b": BATCH, "frames": T_FRAMES},
             "joint_beam10_inverse_rtf": round(inv_rtf_b10, 2),
             "greedy_ctc_inverse_rtf": round(greedy_rtf, 2),
+            "attn_rescore_beam10_inverse_rtf": round(rescore_rtf, 2),
             "torch_cpu_inverse_rtf": (round(torch_inv_rtf, 2)
                                       if vs else None),
             "torch_utts": TORCH_UTTS, "torch_passes": 3,
