@@ -48,6 +48,12 @@ def parse_args():
     p.add_argument("--minlenratio", type=float, default=0.0,
                    help="ban eos before ratio * encoder length tokens")
     p.add_argument("--ctc-weight", type=float, default=0.3)
+    p.add_argument("--lm-ckpt", default="",
+                   help="external LM checkpoint dir (bin/train_lm.py) for "
+                        "shallow fusion (beam/joint) or n-best rescoring "
+                        "(attn_rescore)")
+    p.add_argument("--lm-weight", type=float, default=0.3,
+                   help="LM score weight (only with --lm-ckpt)")
     p.add_argument("--batch-frames", type=int, default=16000)
     p.add_argument("--num-buckets", type=int, default=4)
     p.add_argument("--step", type=int, default=-1,
@@ -144,6 +150,20 @@ def main():
         state, _ = ck.restore(state, step=step)
         params = {"params": state.params}
 
+    lm_cfg = lm_params = None
+    if args.lm_ckpt:
+        from tpu_asr.models.lm import TransformerLM, load_lm_config
+        lm_cfg = load_lm_config(args.lm_ckpt)
+        lm_model = TransformerLM(lm_cfg)
+        lv = lm_model.init(jax.random.PRNGKey(0),
+                           jnp.zeros((1, 2), jnp.int32))
+        lm_state = TrainState.create(lv["params"],
+                                     make_optimizer(lm_cfg.d_model),
+                                     jax.random.PRNGKey(0))
+        lck = Checkpointer(args.lm_ckpt)
+        lm_state, _ = lck.restore(lm_state, step=lck.best_step())
+        lm_params = {"params": lm_state.params}
+
     rec = Recognizer(cfg=cfg, params=params,
                      beam=BeamConfig(beam=args.beam, max_len=args.max_len,
                                      nbest=args.nbest,
@@ -151,9 +171,12 @@ def main():
                                      minlenratio=args.minlenratio,
                                      ctc_weight=args.ctc_weight
                                      if mode in ("joint", "attn_rescore")
-                                     else 0.0),
+                                     else 0.0,
+                                     lm_weight=args.lm_weight
+                                     if args.lm_ckpt else 0.0),
                      mode=mode, frontend=frontend,
-                     cif_scale_fire=(args.cif_fire == "scaled"))
+                     cif_scale_fire=(args.cif_fire == "scaled"),
+                     lm_cfg=lm_cfg, lm_params=lm_params)
 
     # warm up EVERY bucket shape so no compile lands in the timed loop
     warmed = set()

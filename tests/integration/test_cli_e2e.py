@@ -125,3 +125,51 @@ def test_streaming_pipeline(tmp_path):
     # 40-epoch overfit + checkpoint averaging on the training set: the
     # streamed hypothesis must be mostly right, not merely flowing
     assert summary["cer"] < 0.5, summary
+
+
+def test_lm_train_and_fused_decode(tmp_path):
+    """bin/train_lm.py -> bin/recognize.py --lm-ckpt: the external-LM
+    pipeline (beyond-reference shallow fusion / n-best rescoring).
+    Guards the LM checkpoint layout (lm_config.json sidecar), the
+    --lm-ckpt/--lm-weight wiring, and that a transcript-overfit LM does
+    not break an overfit acoustic decode (near-exact CER persists)."""
+    all_jsonl = tmp_path / "all.jsonl"
+    run_cli("prepare_data.py", "--synthetic", "28", "--vocab-size", "16",
+            "--out", str(all_jsonl))
+    lines = all_jsonl.read_text().strip().split("\n")
+    (tmp_path / "cv.jsonl").write_text("\n".join(lines[:4]) + "\n")
+    (tmp_path / "train.jsonl").write_text("\n".join(lines[4:]) + "\n")
+
+    lm_dir = tmp_path / "lm"
+    out = run_cli("train_lm.py",
+                  "--train-manifest", str(tmp_path / "train.jsonl"),
+                  "--cv-manifest", str(tmp_path / "cv.jsonl"),
+                  "--vocab-size", "16", "--epochs", "30",
+                  "--batch-size", "8", "--d-model", "32", "--d-inner", "64",
+                  "--num-heads", "2", "--num-layers", "2",
+                  "--save-folder", str(lm_dir), "--platform", "cpu")
+    assert "done" in out.stderr
+    assert (lm_dir / "lm_config.json").exists()
+    assert (lm_dir / "best.json").exists()
+    metrics = [json.loads(l) for l in
+               (lm_dir / "metrics.jsonl").read_text().strip().split("\n")]
+    assert metrics[-1]["train_loss"] < metrics[0]["train_loss"]
+
+    exp = tmp_path / "exp"
+    run_cli("train.py", "--preset", "hybrid_dev",
+            "--train-manifest", str(tmp_path / "train.jsonl"),
+            "--cv-manifest", str(tmp_path / "cv.jsonl"),
+            "--vocab-size", "16", "--epochs", "100",
+            "--save-folder", str(exp), "--platform", "cpu")
+
+    for mode, gate in (("joint", 0.1), ("attn_rescore", 0.1)):
+        hyp = tmp_path / f"hyp_{mode}.jsonl"
+        out = run_cli("recognize.py", "--ckpt", str(exp),
+                      "--restore", "latest",
+                      "--manifest", str(tmp_path / "train.jsonl"),
+                      "--mode", mode, "--beam", "5", "--max-len", "24",
+                      "--lm-ckpt", str(lm_dir), "--lm-weight", "0.2",
+                      "--output", str(hyp), "--platform", "cpu")
+        summary = json.loads(out.stdout.strip().split("\n")[-1])
+        assert summary["n_utts"] == 24
+        assert summary["cer"] < gate, (mode, summary)

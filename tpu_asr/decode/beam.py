@@ -10,6 +10,13 @@ vectorized CTCPrefixScorer (BASELINE.json config #3).
 
 Joint score per Watanabe et al.: S = (1-l) * logP_att + l * logP_ctc,
 accumulated incrementally (psi differences) inside the same loop.
+
+Optional shallow fusion (beyond the reference; espnet-family convention):
+S += lm_weight * logP_lm, with the external TransformerLM
+(models/lm.py) advanced inside the same scan via its cached step API —
+its K/V caches ride the carry and are beam-reordered with the same
+one-hot MXU gather as the decoder caches, so fusion adds one small
+matmul chain per step and no host round-trips.
 """
 
 from __future__ import annotations
@@ -51,6 +58,9 @@ class BeamConfig:
     # drops too-short ended hyps; masking is the in-beam equivalent).
     maxlenratio: float = 0.0
     minlenratio: float = 0.0
+    # Shallow-fusion weight for the external LM (0 = no fusion; the LM
+    # module/params are passed to attention_beam_search directly).
+    lm_weight: float = 0.0
     # Joint-scoring execution strategy. One-pass scores all K candidates
     # AND materializes their [N, K, T, 2] r histories, then gathers the
     # winners; two-pass scores without histories and re-advances only the
@@ -75,12 +85,16 @@ def attention_beam_search(
     eos_id: int,
     cfg: BeamConfig = BeamConfig(),
     ctc_logp: jnp.ndarray | None = None,
+    lm=None,
+    lm_params=None,
 ):
     """Run beam search over a batch of utterances.
 
     decoder: tpu_asr.models.decoder.Decoder (module def); dec_params: its
     variables; enc_out [B, T, D]; ctc_logp [B, T, V] (log-softmaxed CTC
-    posteriors) required when cfg.ctc_weight > 0.
+    posteriors) required when cfg.ctc_weight > 0. lm/lm_params: an
+    optional tpu_asr.models.lm.TransformerLM for shallow fusion
+    (used when cfg.lm_weight > 0).
 
     Returns dict(tokens [B, W, max_len] eos-padded, scores [B, W],
     lengths [B, W]) sorted best-first.
@@ -97,6 +111,9 @@ def attention_beam_search(
     enc_lengths_flat = _tile_beams(enc_lengths, w)
     cache = decoder.apply(dec_params, n, cfg.max_len,
                           method=type(decoder).init_cache)
+    use_lm = cfg.lm_weight > 0.0 and lm is not None
+    lm_cache0 = (lm.apply(lm_params, n, cfg.max_len,
+                          method=type(lm).init_cache) if use_lm else ())
 
     scorer = None
     ctc_state = None
@@ -151,9 +168,15 @@ def attention_beam_search(
         if cfg.minlenratio > 0 else jnp.zeros((b,), jnp.int32))
 
     def step(carry, pos):
-        (y_prev, cache, scores, finished, lengths, tokens, ctc_state) = carry
+        (y_prev, cache, scores, finished, lengths, tokens, ctc_state,
+         lm_cache) = carry
         logits, cache = dec_step(y_prev, pos, cache)
         att_logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        if use_lm:
+            lm_logits, lm_cache = lm.apply(lm_params, y_prev, pos, lm_cache,
+                                           method=type(lm).step)
+            lm_logp = jax.nn.log_softmax(lm_logits.astype(jnp.float32),
+                                         axis=-1)
         must_end = pos >= utt_maxlen[:, None]           # [B, 1]
         ban_eos = pos < utt_minlen[:, None]             # [B, 1]
         ended = finished | must_end                     # [B, W]
@@ -176,6 +199,12 @@ def attention_beam_search(
             _, psi_prev = ctc_state
             step_score = ((1.0 - lam) * cand_logp
                           + lam * (psi - psi_prev[:, None]))      # [N, K+1]
+            if use_lm:
+                # shallow fusion: += beta * logP_lm at each candidate id
+                # (candidate SELECTION stays attention-top-k, the espnet
+                # pre-beam convention — the LM only reweights)
+                step_score = step_score + cfg.lm_weight * jnp.take_along_axis(
+                    lm_logp, cand_ids, axis=1)
             k_tot = k_cand + 1
             # minlen: ban eos candidates (finished/forced override below)
             step_score = jnp.where(
@@ -225,7 +254,9 @@ def attention_beam_search(
             psi_next = jnp.where(keep_old, old_psi_g, psi_sel)
             ctc_state = (r_next, psi_next)
         else:
-            logp = att_logp.reshape(b, w, -1)
+            fused = (att_logp + cfg.lm_weight * lm_logp if use_lm
+                     else att_logp)
+            logp = fused.reshape(b, w, -1)
             v = logp.shape[-1]
             is_eos_col = jnp.arange(v)[None, None, :] == eos_id
             # minlen: ban eos until utt_minlen tokens emitted
@@ -239,6 +270,8 @@ def attention_beam_search(
 
         # reorder all per-beam state
         cache = gather_beams(cache, beam_idx)
+        if use_lm:
+            lm_cache = gather_beams(lm_cache, beam_idx)
         tokens = gather_beams(tokens.reshape(n, -1), beam_idx).reshape(
             b, w, -1)
         finished_g = jnp.take_along_axis(finished, beam_idx, axis=1)
@@ -253,7 +286,7 @@ def attention_beam_search(
         scores = top_scores
         y_prev = tok.reshape(n)
         return (y_prev, cache, scores, finished, lengths, tokens,
-                ctc_state), None
+                ctc_state, lm_cache), None
 
     scores0 = jnp.where(jnp.arange(w)[None, :] == 0, 0.0, NEG_INF)
     scores0 = jnp.tile(scores0, (b, 1))
@@ -265,8 +298,10 @@ def attention_beam_search(
         jnp.zeros((b, w), jnp.int32),
         jnp.full((b, w, cfg.max_len), eos_id, jnp.int32),
         ctc_state,
+        lm_cache0,
     )
-    (y_prev, cache, scores, finished, lengths, tokens, ctc_state), _ = (
+    (y_prev, cache, scores, finished, lengths, tokens, ctc_state,
+     _lm_cache), _ = (
         jax.lax.scan(step, carry0, jnp.arange(cfg.max_len)))
 
     # Unfinished hyps at max_len: keep accumulated score (reference appends

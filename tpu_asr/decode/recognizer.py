@@ -35,6 +35,12 @@ class Recognizer:
     # count (train/inference boundary-geometry consistency); False = the
     # reference's raw-alpha firing (identical to StreamingCIFRecognizer).
     cif_scale_fire: bool = True
+    # Optional external TransformerLM (models/lm.py) for shallow fusion
+    # (beam/joint, weight = beam.lm_weight) and attn_rescore n-best
+    # rescoring. ctc_beam/greedy paths are frame-synchronous and do not
+    # consume it.
+    lm_cfg: object | None = None
+    lm_params: dict | None = None
 
     def __post_init__(self):
         assert self.mode in ("greedy_ctc", "ctc_beam", "beam", "joint",
@@ -54,6 +60,15 @@ class Recognizer:
             self.model = CifModel(self.cfg)
         else:
             self.model = Transformer(self.cfg)
+        self.lm = None
+        if self.lm_cfg is not None and self.beam.lm_weight > 0.0:
+            from tpu_asr.models.lm import TransformerLM
+            assert self.mode in ("beam", "joint", "attn_rescore"), \
+                f"LM fusion not supported in mode {self.mode}"
+            assert self.lm_cfg.vocab_size == self.cfg.vocab_size, \
+                (self.lm_cfg.vocab_size, self.cfg.vocab_size)
+            assert self.lm_params is not None, "lm_cfg needs lm_params"
+            self.lm = TransformerLM(self.lm_cfg)
 
     # --- jitted per-shape programs ---
 
@@ -109,7 +124,9 @@ class Recognizer:
         return attention_rescore(
             dec, dp, enc_out, el, logits, self.cfg.vocab_size - 2,
             self.cfg.vocab_size - 1, beam=self.beam.beam,
-            max_len=self.beam.max_len, ctc_weight=self.beam.ctc_weight)
+            max_len=self.beam.max_len, ctc_weight=self.beam.ctc_weight,
+            lm=self.lm, lm_params=self.lm_params,
+            lm_weight=self.beam.lm_weight)
 
     @partial(jax.jit, static_argnums=0)
     def _beam(self, params, batch):
@@ -125,7 +142,8 @@ class Recognizer:
             ctc_logp = jax.nn.log_softmax(lg.astype(jnp.float32), axis=-1)
         out = attention_beam_search(
             dec, dp, enc_out, el, self.cfg.vocab_size - 2,
-            self.cfg.vocab_size - 1, self.beam, ctc_logp=ctc_logp)
+            self.cfg.vocab_size - 1, self.beam, ctc_logp=ctc_logp,
+            lm=self.lm, lm_params=self.lm_params)
         return out
 
     @partial(jax.jit, static_argnums=0)

@@ -42,13 +42,19 @@ def attention_rescore(
     max_len: int = 64,
     ctc_weight: float = 0.5,
     ctc_topk: int = 8,
+    lm=None,
+    lm_params=None,
+    lm_weight: float = 0.0,
 ):
     """-> dict(tokens [B, W, L] (-1-padded), scores [B, W], lengths
     [B, W]) sorted best-first by the combined score.
 
     decoder/dec_params as in attention_beam_search; ctc_logits [B, T', V]
     raw CTC head logits; ctc_weight weights the CTC score in the final
-    ranking (attention score has weight 1, WeNet convention).
+    ranking (attention score has weight 1, WeNet convention). An optional
+    external TransformerLM (models/lm.py) adds lm_weight * logP_lm via
+    one more teacher-forced pass over the same n-best — still no
+    autoregressive loop anywhere.
     """
     b, t, _ = enc_out.shape
     w = beam
@@ -81,6 +87,13 @@ def attention_rescore(
         jnp.where(pos <= lens_f[:, None], tok_lp, 0.0), axis=1)  # [N]
 
     final = att_score.reshape(b, w) + ctc_weight * ctc_scores
+    if lm is not None and lm_weight > 0.0:
+        lm_logits = lm.apply(lm_params, ys_in)
+        lm_logp = jax.nn.log_softmax(lm_logits.astype(jnp.float32), axis=-1)
+        lm_tok = jnp.take_along_axis(lm_logp, tgt[..., None], axis=-1)[..., 0]
+        lm_score = jnp.sum(
+            jnp.where(pos <= lens_f[:, None], lm_tok, 0.0), axis=1)
+        final = final + lm_weight * lm_score.reshape(b, w)
     # dead n-best slots (CTC score ~NEG_INF) must stay dead
     final = jnp.where(ctc_scores <= NEG_INF / 2, NEG_INF, final)
     order = jnp.argsort(-final, axis=1)
