@@ -68,6 +68,11 @@ def parse_args():
                    help="CIF inference firing: 'scaled' self-scales alphas "
                         "to the rounded fire count; 'raw' is the "
                         "reference's unscaled firing (matches streaming)")
+    p.add_argument("--dp", type=int, default=0,
+                   help="data-parallel decode over N devices (a 'data'-axis "
+                        "jax.sharding.Mesh; batches shard along the batch "
+                        "axis, params replicate, XLA GSPMD partitions every "
+                        "decode mode). 0 = single device")
     p.add_argument("--prng-impl", default="rbg",
                    help="must match training (the checkpointed TrainState "
                         "rng key shape depends on it; train default: rbg)")
@@ -114,10 +119,18 @@ def main():
     wav_mode = bool(utts and utts[0].wav)
     frontend = FrontendConfig()
     scale = frontend.frame_shift if wav_mode else 1
+    mesh = None
+    if args.dp > 1:
+        from tpu_asr.parallel import make_mesh
+        assert len(jax.devices()) >= args.dp, \
+            f"--dp {args.dp} > {len(jax.devices())} visible devices"
+        mesh = make_mesh(n_data=args.dp, n_model=1,
+                         devices=jax.devices()[: args.dp])
     buckets = make_buckets(
         utts, num_buckets=args.num_buckets,
         batch_frames=args.batch_frames * scale,
         max_frames_cap=3000 * scale, max_tokens_cap=200,
+        batch_multiple=max(args.dp, 1),
         length_key="num_samples" if wav_mode else "num_frames")
     loader = DataLoader(utts, buckets, mode="wav" if wav_mode else "feat",
                         shuffle=False)
@@ -176,7 +189,7 @@ def main():
                                      if args.lm_ckpt else 0.0),
                      mode=mode, frontend=frontend,
                      cif_scale_fire=(args.cif_fire == "scaled"),
-                     lm_cfg=lm_cfg, lm_params=lm_params)
+                     lm_cfg=lm_cfg, lm_params=lm_params, mesh=mesh)
 
     # warm up EVERY bucket shape so no compile lands in the timed loop
     warmed = set()

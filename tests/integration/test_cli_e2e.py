@@ -17,7 +17,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
 
-def run_cli(script, *args):
+def run_cli(script, *args, env_extra=None):
     env = dict(os.environ)
     env.pop("JAX_PLATFORMS", None)  # CLIs force cpu via --platform
     # don't leak conftest's 8-virtual-device topology into the CLI: a
@@ -25,6 +25,7 @@ def run_cli(script, *args):
     # changes batching enough to weaken the 100-epoch overfit (measured
     # CER 0.0063 single-device vs 0.12 with the leaked flag)
     env.pop("XLA_FLAGS", None)
+    env.update(env_extra or {})
     out = subprocess.run(
         [sys.executable, os.path.join(REPO, "bin", script), *args],
         capture_output=True, text=True, timeout=900, env=env, cwd=REPO)
@@ -77,6 +78,23 @@ def test_prepare_train_recognize_score(tmp_path):
                   "--hyp", str(hyp))
     score = json.loads(out.stdout.strip().split("\n")[-1])
     assert abs(score["cer"] - summary["cer"]) < 1e-6, (score, summary)
+
+    # data-parallel decode (--dp 2 over a 2-virtual-device CPU mesh) must
+    # reproduce the single-device hypotheses utterance-for-utterance
+    hyp_dp = tmp_path / "hyp_dp.jsonl"
+    out = run_cli("recognize.py", "--ckpt", str(exp), "--restore", "latest",
+                  "--manifest", str(tmp_path / "train.jsonl"),
+                  "--mode", "joint", "--beam", "5", "--max-len", "24",
+                  "--dp", "2", "--output", str(hyp_dp), "--platform", "cpu",
+                  env_extra={"XLA_FLAGS":
+                             "--xla_force_host_platform_device_count=2"})
+    summary_dp = json.loads(out.stdout.strip().split("\n")[-1])
+    assert summary_dp["cer"] < 0.05, summary_dp
+    one = {h["id"]: h["hyp_tokens"] for h in
+           (json.loads(l) for l in hyp.read_text().strip().split("\n"))}
+    two = {h["id"]: h["hyp_tokens"] for h in
+           (json.loads(l) for l in hyp_dp.read_text().strip().split("\n"))}
+    assert one == two
 
     # two-pass attention rescoring (CTC n-best + one teacher-forced
     # decoder pass) must decode the overfit set near-exactly too

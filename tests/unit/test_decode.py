@@ -304,3 +304,35 @@ def test_attn_rescore_matches_host_rescoring(rng):
                                        atol=1e-4)
             checked += 1
     assert checked >= enc_out.shape[0]             # at least 1-best each
+
+
+def test_mesh_decode_equals_single_device():
+    """Data-parallel decode (Recognizer mesh=...) must return the SAME
+    hypotheses and scores as single-device decode: decode is purely
+    batch-parallel, so sharding the batch axis over the 'data' mesh axis
+    is a layout change, not a numerical one."""
+    from tpu_asr.decode.recognizer import Recognizer
+    from tpu_asr.parallel import make_mesh
+
+    rng = np.random.default_rng(7)
+    feats = (rng.standard_normal((4, 64, 8)) * 2).astype(np.float32)
+    flens = np.asarray([64, 50, 41, 33], np.int32)
+    model = Transformer(CFG)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(feats),
+                        jnp.asarray(flens), jnp.zeros((4, 4), jnp.int32),
+                        jnp.full((4,), 4, jnp.int32))
+    beam = BeamConfig(beam=3, max_len=10, nbest=3, ctc_weight=0.3)
+    batch = {"feats": feats, "feat_lengths": flens, "ids": ["a", "b", "c", "d"]}
+
+    ref = Recognizer(cfg=CFG, params=params, mode="joint",
+                     beam=beam).decode_batch_nbest(batch)
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    got = Recognizer(cfg=CFG, params=params, mode="joint", beam=beam,
+                     mesh=mesh).decode_batch_nbest(batch)
+
+    assert len(got) == len(ref) == 4
+    for r, g in zip(ref, got):
+        for hr, hg in zip(r, g):
+            assert hg["yseq"] == hr["yseq"]
+            np.testing.assert_allclose(hg["score"], hr["score"],
+                                       rtol=1e-5, atol=1e-5)

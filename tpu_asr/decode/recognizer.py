@@ -41,6 +41,13 @@ class Recognizer:
     # consume it.
     lm_cfg: object | None = None
     lm_params: dict | None = None
+    # Optional jax.sharding.Mesh for data-parallel decode: batches are
+    # placed sharded along the 'data' axis, params replicated, and XLA
+    # GSPMD partitions the whole compiled decode program (every decode
+    # mode is batch-parallel — beam scan, prefix scorer, top-k and the
+    # one-hot reorder all act per-utterance). Bucket batch sizes must be
+    # multiples of the data-axis size (make_buckets batch_multiple).
+    mesh: object | None = None
 
     def __post_init__(self):
         assert self.mode in ("greedy_ctc", "ctc_beam", "beam", "joint",
@@ -69,6 +76,13 @@ class Recognizer:
                 (self.lm_cfg.vocab_size, self.cfg.vocab_size)
             assert self.lm_params is not None, "lm_cfg needs lm_params"
             self.lm = TransformerLM(self.lm_cfg)
+        if self.mesh is not None:
+            from tpu_asr.parallel import replicated
+            self.params = jax.device_put(self.params,
+                                         replicated(self.mesh))
+            if self.lm_params is not None:
+                self.lm_params = jax.device_put(self.lm_params,
+                                                replicated(self.mesh))
 
     # --- jitted per-shape programs ---
 
@@ -166,7 +180,13 @@ class Recognizer:
 
     def decode_batch_nbest(self, batch) -> list[list[dict]]:
         """-> per-utterance n-best [{'yseq': [ids], 'score': float}, ...]."""
-        arrays = {k: jnp.asarray(v) for k, v in batch.items() if k != "ids"}
+        if self.mesh is not None:
+            from tpu_asr.parallel import shard_batch
+            arrays = shard_batch({k: v for k, v in batch.items()
+                                  if k != "ids"}, self.mesh)
+        else:
+            arrays = {k: jnp.asarray(v) for k, v in batch.items()
+                      if k != "ids"}
         eos = self.cfg.vocab_size - 1
 
         def clean(row, length):
