@@ -120,9 +120,12 @@ def _frontend_constants(cfg: FrontendConfig):
     cos_b = cos_b * win[:, None]
     sin_b = sin_b * win[:, None]
     mel = mel_filterbank(cfg)
+    # numpy, NOT jnp: this cache may first be hit INSIDE a jit trace
+    # (e.g. a server warming up the wav decode program), and jnp.asarray
+    # there stages a device_put whose tracer would be cached and escape.
+    # numpy constants are embedded per-trace by the consuming jnp ops.
     f32 = np.float32
-    return (jnp.asarray(cos_b.astype(f32)), jnp.asarray(sin_b.astype(f32)),
-            jnp.asarray(mel.astype(f32)))
+    return cos_b.astype(f32), sin_b.astype(f32), mel.astype(f32)
 
 
 def frame_signal(wav: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
