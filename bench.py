@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import json
 import sys
+import threading
 import time
 
 import numpy as np
@@ -172,6 +173,58 @@ def bench_train_cif(batch_arrays):
     return bench_train_tpu(cfg, model, params, batch_arrays)
 
 
+def bench_serve(cfg, params, n_requests=48, mean_gap_ms=15.0):
+    """End-to-end serving latency through the micro-batcher: Poisson-ish
+    request arrivals (feats kind, AISHELL-length utterances) against the
+    same flagship joint-beam recognizer; reports p50/p95 request latency
+    and the effective batching factor. This is the production-serving
+    claim measured, not asserted."""
+    from tpu_asr.decode.beam import BeamConfig
+    from tpu_asr.decode.recognizer import Recognizer
+    from tpu_asr.serve import AsrServer
+
+    rec = Recognizer(cfg=cfg, params=params, mode="joint",
+                     beam=BeamConfig(beam=BEAM, max_len=MAX_LEN,
+                                     ctc_weight=0.3))
+    server = AsrServer(rec, bucket_frames=(512, T_FRAMES), batch_size=8,
+                       window_ms=10.0)
+    t0 = time.time()
+    server.warmup(kinds=("feats",))
+    log(f"serve warmup (2 programs, batch=8): {time.time()-t0:.1f}s")
+    server.start()
+    rng = np.random.default_rng(23)
+    lens = utt_lengths(n_requests, seed=29)
+    lat = [None] * n_requests
+    threads = []
+
+    def ask(i):
+        feats = rng.standard_normal((int(lens[i]), 80)).astype(np.float32)
+        t0 = time.time()
+        server.submit("feats", feats, timeout=120.0)
+        lat[i] = (time.time() - t0) * 1000.0
+
+    t_all = time.time()
+    for i in range(n_requests):
+        th = threading.Thread(target=ask, args=(i,))
+        th.start()
+        threads.append(th)
+        time.sleep(float(rng.exponential(mean_gap_ms / 1000.0)))
+    for th in threads:
+        th.join(timeout=180)
+    wall = time.time() - t_all
+    server.stop()
+    assert all(x is not None for x in lat)
+    return {
+        "p50_ms": round(float(np.percentile(lat, 50)), 1),
+        "p95_ms": round(float(np.percentile(lat, 95)), 1),
+        "requests": n_requests,
+        "offered_gap_ms": mean_gap_ms,
+        "throughput_rps": round(n_requests / wall, 1),
+        "batching_factor": round(server.stats["requests"]
+                                 / max(server.stats["batches"], 1), 2),
+    }
+
+
 def bench_torch_baseline(cfg, params, passes=3):
     """Reference-style host-driven beam decode (PyTorch CPU), 8 utterances
     from the same length distribution at the same max_len as the TPU path.
@@ -234,6 +287,13 @@ def main():
         torch_inv_rtf = float("nan")
 
     try:
+        serve_stats = bench_serve(cfg, params)
+        log(f"serve latency: {serve_stats}")
+    except Exception as e:
+        log(f"serve bench failed: {e!r}")
+        serve_stats = None
+
+    try:
         cif_steps_per_sec = bench_train_cif(batch_arrays)
         log(f"tpu CIF train steps/sec (b={BATCH}, T={T_FRAMES}): "
             f"{cif_steps_per_sec:.2f}")
@@ -261,6 +321,7 @@ def main():
             "joint_beam10_inverse_rtf": round(inv_rtf_b10, 2),
             "greedy_ctc_inverse_rtf": round(greedy_rtf, 2),
             "attn_rescore_beam10_inverse_rtf": round(rescore_rtf, 2),
+            "serve": serve_stats,
             "torch_cpu_inverse_rtf": (round(torch_inv_rtf, 2)
                                       if vs else None),
             "torch_utts": TORCH_UTTS, "torch_passes": 3,

@@ -1,0 +1,154 @@
+"""Micro-batcher unit tests (tpu_asr/serve.py) with a fake recognizer:
+grouping by (kind, bucket), static padding with length-0 dummy rows,
+per-request nbest slicing, over-long rejection, and error isolation —
+all host logic, no model, fast tier."""
+
+import threading
+import time
+
+import numpy as np
+import pytest
+
+from tpu_asr.serve import AsrServer, _ids_to_text
+
+
+class FakeRecognizer:
+    """Records every batch it sees; returns per-row nbest derived from the
+    row's length so tests can match results back to requests."""
+
+    class _Cfg:
+        d_input = 8
+        model_type = "hybrid"
+
+    cfg = _Cfg()
+    mode = "fake"
+    frontend = None
+
+    def __init__(self, fail_on_len=None):
+        self.batches = []
+        self.fail_on_len = fail_on_len
+
+    def decode_batch_nbest(self, batch):
+        self.batches.append(batch)
+        key = "feats" if "feats" in batch else "wav"
+        lens = batch["feat_lengths" if key == "feats" else "wav_lengths"]
+        arr = batch[key]
+        if self.fail_on_len is not None and \
+                int(self.fail_on_len) in [int(x) for x in lens]:
+            raise RuntimeError("boom")
+        out = []
+        for i in range(arr.shape[0]):
+            n = int(lens[i])
+            out.append([{"yseq": [n, w], "score": -float(w)}
+                        for w in range(3)])
+        return out
+
+
+def _server(rec, **kw):
+    kw.setdefault("bucket_frames", (16, 64))
+    kw.setdefault("batch_size", 4)
+    kw.setdefault("window_ms", 20.0)
+    s = AsrServer(rec, **kw)
+    s.start()
+    return s
+
+
+def test_batcher_groups_pads_and_slices():
+    rec = FakeRecognizer()
+    s = _server(rec)
+    try:
+        results = {}
+
+        def ask(name, frames, nbest):
+            results[name] = s.submit(
+                "feats", np.ones((frames, 8), np.float32), nbest=nbest)
+
+        threads = [
+            threading.Thread(target=ask, args=("a", 10, 1)),
+            threading.Thread(target=ask, args=("b", 12, 2)),   # bucket 16
+            threading.Thread(target=ask, args=("c", 40, 3)),   # bucket 64
+        ]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=30)
+
+        # results keyed back via the fake's yseq = [row_length, w]
+        assert [h["yseq"][0] for h in results["a"]] == [10]
+        assert [h["yseq"][0] for h in results["b"]] == [12, 12]
+        assert [h["yseq"][0] for h in results["c"]] == [40, 40, 40]
+
+        # every decoded batch had the STATIC batch_size rows and the
+        # bucket's static T; absent rows are length-0 dummies
+        for b in rec.batches:
+            assert b["feats"].shape[0] == 4
+            assert b["feats"].shape[1] in (16, 64)
+            real = int((b["feat_lengths"] > 0).sum())
+            assert (b["feat_lengths"][real:] == 0).all()
+        # a+b shared the 16-bucket batch when the window caught both;
+        # c went to the 64 bucket — at most 3 batches either way
+        assert 2 <= len(rec.batches) <= 3
+        assert s.stats["requests"] == 3
+    finally:
+        s.stop()
+
+
+def test_batcher_wav_bucketing_and_too_long():
+    rec = FakeRecognizer()
+    s = _server(rec)   # frame_shift = 160 (FrontendConfig default)
+    try:
+        out = s.submit("wav", np.zeros(15 * 160, np.float32))
+        assert out[0]["yseq"][0] == 15 * 160          # wav length echoed
+        assert rec.batches[-1]["wav"].shape == (4, 16 * 160)
+        with pytest.raises(ValueError, match="bucket"):
+            s.submit("wav", np.zeros(100 * 160, np.float32))
+        with pytest.raises(ValueError):
+            s.submit("feats", np.zeros((4, 3), np.float32))  # bad d_input
+        with pytest.raises(ValueError):
+            s.submit("nope", np.zeros(8, np.float32))
+    finally:
+        s.stop()
+
+
+def test_batcher_error_isolation():
+    """A decode failure errors THOSE requests; the loop keeps serving."""
+    rec = FakeRecognizer(fail_on_len=13)
+    s = _server(rec)
+    try:
+        with pytest.raises(RuntimeError, match="boom"):
+            s.submit("feats", np.ones((13, 8), np.float32))
+        out = s.submit("feats", np.ones((10, 8), np.float32))
+        assert out[0]["yseq"][0] == 10
+    finally:
+        s.stop()
+
+
+def test_split_oversized_wave_of_requests():
+    """More same-bucket requests than batch_size split into chunks."""
+    rec = FakeRecognizer()
+    s = _server(rec, window_ms=60.0)
+    try:
+        results = [None] * 7
+
+        def ask(i):
+            results[i] = s.submit("feats", np.ones((10 + i, 8), np.float32))
+
+        threads = [threading.Thread(target=ask, args=(i,)) for i in range(7)]
+        for t in threads:
+            t.start()
+            time.sleep(0.002)       # land inside one collection window
+        for t in threads:
+            t.join(timeout=30)
+        assert all(r is not None for r in results)
+        assert [r[0]["yseq"][0] for r in results] == [10 + i
+                                                      for i in range(7)]
+        sizes = [int((b["feat_lengths"] > 0).sum()) for b in rec.batches]
+        assert sum(sizes) == 7 and max(sizes) <= 4
+    finally:
+        s.stop()
+
+
+def test_ids_to_text():
+    assert _ids_to_text([2, 3], ["<b>", "<u>", "x", "y"]) == "xy"
+    assert _ids_to_text([9], ["a"]) == "<unk>"
+    assert _ids_to_text([1, 2], None) is None
