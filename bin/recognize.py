@@ -37,7 +37,8 @@ def parse_args():
     p.add_argument("--output", default="")
     p.add_argument("--mode", default="",
                    choices=["", "greedy_ctc", "ctc_beam", "beam", "joint",
-                            "attn_rescore", "cif_greedy", "cif_beam"])
+                            "attn_rescore", "cif_greedy", "cif_beam",
+                            "transducer_greedy"])
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--nbest", type=int, default=1)
     p.add_argument("--max-len", type=int, default=100)
@@ -93,7 +94,7 @@ def main():
     from tpu_asr.decode.beam import BeamConfig
     from tpu_asr.decode.recognizer import Recognizer
     from tpu_asr.frontend import FrontendConfig
-    from tpu_asr.models import CifModel, Transformer
+    from tpu_asr.models import build_model
     from tpu_asr.train import TrainState, make_optimizer
     from tpu_asr.train.checkpoints import Checkpointer
     from tpu_asr.utils.cer import cer
@@ -111,7 +112,7 @@ def main():
         cfg = ck.load_config()
     mode = args.mode or {
         "ctc": "greedy_ctc", "transformer": "beam", "hybrid": "joint",
-        "cif": "cif_greedy"}[cfg.model_type]
+        "cif": "cif_greedy", "transducer": "transducer_greedy"}[cfg.model_type]
     if mode == "joint" and cfg.model_type != "hybrid":
         mode = "beam"
 
@@ -136,8 +137,7 @@ def main():
                         shuffle=False)
 
     # restore params
-    model_cls = CifModel if cfg.model_type == "cif" else Transformer
-    model = model_cls(cfg)
+    model = build_model(cfg)
     batch0 = next(iter(loader))
     import jax.numpy as jnp
     from tpu_asr.train.loop import (apply_lfr, batch_features,

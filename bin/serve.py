@@ -78,7 +78,7 @@ def main():
     from tpu_asr.decode.beam import BeamConfig
     from tpu_asr.decode.recognizer import Recognizer
     from tpu_asr.frontend import FrontendConfig
-    from tpu_asr.models import CifModel, Transformer
+    from tpu_asr.models import build_model
     from tpu_asr.serve import AsrServer, StreamSessions, make_http_server
     from tpu_asr.train import TrainState, make_optimizer
     from tpu_asr.train.checkpoints import Checkpointer
@@ -92,7 +92,7 @@ def main():
         mode = "beam"
 
     # restore params (recognize.py pattern: dummy init then orbax restore)
-    model = (CifModel if cfg.model_type == "cif" else Transformer)(cfg)
+    model = build_model(cfg)
     dummy_t = 80
     variables = model.init(jax.random.PRNGKey(0),
                            jnp.zeros((1, dummy_t, cfg.d_input), jnp.float32),

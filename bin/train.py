@@ -84,7 +84,7 @@ def main():
     enable_persistent_cache(args.compile_cache)
     from tpu_asr.configs import get_preset
     from tpu_asr.data import DataLoader, load_manifest, make_buckets
-    from tpu_asr.models import CifModel, Transformer
+    from tpu_asr.models import build_model
     from tpu_asr.parallel import make_mesh
     from tpu_asr.train import Solver, TrainState, make_optimizer
     from tpu_asr.train.checkpoints import Checkpointer
@@ -160,7 +160,7 @@ def main():
     cv_loader = DataLoader(cv_utts, buckets, mode=mode, waves=waves_arg,
                            shuffle=False)
 
-    model = CifModel(mc) if mc.model_type == "cif" else Transformer(mc)
+    model = build_model(mc)
     tx = make_optimizer(mc.d_model, tc.warmup_steps, tc.lr_k, tc.grad_clip,
                         accum_steps=tc.accum_steps)
 

@@ -100,6 +100,32 @@ PRESETS: dict[str, TrainConfig] = {
                                   cif_quantity_weight=1.0),
         decode_mode="cif_greedy",
         beam=BeamConfig(beam=1, max_len=100)),
+    # transducer (beyond the reference): RNN-T with a causal-transformer
+    # predictor — the standard streaming production objective
+    # (Transformer-Transducer, PAPERS.md). Aux CTC head (ctc_weight)
+    # stabilizes early training and enables greedy_ctc/ctc_beam decode.
+    "transducer_dev": TrainConfig(
+        model=dataclasses.replace(
+            _BASE, model_type="transducer", ctc_weight=0.3, d_model=64,
+            d_inner=128, num_heads=2, num_enc_layers=2, num_pred_layers=1,
+            d_joint=64, dropout=0.0),
+        epochs=30, warmup_steps=100, lr_k=1.0, batch_frames=8000,
+        num_buckets=2, decode_mode="transducer_greedy",
+        beam=BeamConfig(beam=1, max_len=24)),
+    "transducer": TrainConfig(
+        model=dataclasses.replace(_BASE, model_type="transducer",
+                                  ctc_weight=0.3, num_pred_layers=2,
+                                  d_joint=512),
+        decode_mode="transducer_greedy",
+        beam=BeamConfig(beam=1, max_len=100)),
+    # streaming transducer: chunk-masked encoder + frame-synchronous
+    # decode = end-to-end streaming with label-history modeling
+    "transducer_streaming": TrainConfig(
+        model=dataclasses.replace(_BASE, model_type="transducer",
+                                  ctc_weight=0.3, num_pred_layers=2,
+                                  d_joint=512, enc_chunk_size=16),
+        decode_mode="transducer_greedy",
+        beam=BeamConfig(beam=1, max_len=100)),
     # streaming (beyond the reference): chunk-masked CTC encoder —
     # 16 post-subsample frames/chunk = 0.64 s emission latency; decode
     # offline (greedy_ctc) or incrementally via

@@ -29,7 +29,7 @@ class Recognizer:
     cfg: ModelConfig
     params: dict
     beam: BeamConfig = BeamConfig()
-    mode: str = "beam"  # greedy_ctc | ctc_beam | beam | joint | attn_rescore | cif_greedy | cif_beam
+    mode: str = "beam"  # greedy_ctc | ctc_beam | beam | joint | attn_rescore | cif_greedy | cif_beam | transducer_greedy
     frontend: FrontendConfig = FrontendConfig()
     # CIF fire-time alpha handling: True = self-scale to the rounded fire
     # count (train/inference boundary-geometry consistency); False = the
@@ -51,10 +51,13 @@ class Recognizer:
 
     def __post_init__(self):
         assert self.mode in ("greedy_ctc", "ctc_beam", "beam", "joint",
-                             "attn_rescore", "cif_greedy", "cif_beam")
+                             "attn_rescore", "cif_greedy", "cif_beam",
+                             "transducer_greedy")
         mt = self.cfg.model_type
         if self.mode in ("greedy_ctc", "ctc_beam", "joint"):
-            assert mt in ("ctc", "hybrid"), \
+            assert mt in ("ctc", "hybrid") or (
+                mt == "transducer" and self.cfg.ctc_weight > 0.0
+                and self.mode != "joint"), \
                 f"mode {self.mode} needs a CTC head (model_type={mt})"
         if self.mode == "attn_rescore":
             assert mt == "hybrid", \
@@ -62,11 +65,13 @@ class Recognizer:
         if self.mode in ("beam", "joint"):
             assert mt in ("transformer", "hybrid"), \
                 f"mode {self.mode} needs an attention decoder (model_type={mt})"
+        if self.mode == "transducer_greedy":
+            assert mt == "transducer", \
+                f"mode transducer_greedy needs model_type=transducer"
         if self.mode in ("cif_greedy", "cif_beam"):
             assert mt == "cif", f"mode {self.mode} needs model_type=cif"
-            self.model = CifModel(self.cfg)
-        else:
-            self.model = Transformer(self.cfg)
+        from tpu_asr.models import build_model
+        self.model = build_model(self.cfg)
         self.lm = None
         if self.lm_cfg is not None and self.beam.lm_weight > 0.0:
             from tpu_asr.models.lm import TransformerLM
@@ -101,12 +106,22 @@ class Recognizer:
 
     @partial(jax.jit, static_argnums=0)
     def _greedy_ctc(self, params, batch):
+        # string method names dispatch on the actual model class
+        # (Transformer or TransducerModel with an aux CTC head)
         feats, flens = self._features(batch)
         enc_out, el = self.model.apply(params, feats, flens,
-                                       method=Transformer.encode)
-        logits = self.model.apply(params, enc_out,
-                                  method=Transformer.ctc_logits)
+                                       method="encode")
+        logits = self.model.apply(params, enc_out, method="ctc_logits")
         return ctc_greedy_decode(logits, el)
+
+    @partial(jax.jit, static_argnums=0)
+    def _transducer(self, params, batch):
+        """Frame-synchronous RNN-T greedy: one compiled while_loop over
+        the whole batch (beyond-reference model family)."""
+        from tpu_asr.decode.transducer_decode import transducer_greedy_decode
+        feats, flens = self._features(batch)
+        return transducer_greedy_decode(self.model, params, feats, flens,
+                                        max_tokens=self.beam.max_len)
 
     @partial(jax.jit, static_argnums=0)
     def _ctc_beam(self, params, batch):
@@ -115,9 +130,8 @@ class Recognizer:
         from tpu_asr.decode.ctc_beam import ctc_prefix_beam_search
         feats, flens = self._features(batch)
         enc_out, el = self.model.apply(params, feats, flens,
-                                       method=Transformer.encode)
-        logits = self.model.apply(params, enc_out,
-                                  method=Transformer.ctc_logits)
+                                       method="encode")
+        logits = self.model.apply(params, enc_out, method="ctc_logits")
         toks, lens, scores = ctc_prefix_beam_search(
             logits, el, beam=self.beam.beam,
             max_len=min(self.beam.max_len, logits.shape[1]))
@@ -208,6 +222,8 @@ class Recognizer:
                     for i in range(toks.shape[0])]
         if self.mode == "greedy_ctc":
             toks, lens = self._greedy_ctc(self.params, arrays)
+        elif self.mode == "transducer_greedy":
+            toks, lens = self._transducer(self.params, arrays)
         else:
             toks, lens = self._cif(self.params, arrays)
         toks, lens = np.asarray(toks), np.asarray(lens)

@@ -33,6 +33,7 @@ class ModelConfig:
     tie_embedding: bool = True        # share decoder embedding + output proj
     # objective selection (reference model-type flag + mtlalpha)
     model_type: str = "hybrid"        # transformer | ctc | hybrid | cif
+    #                                   | transducer (RNN-T, beyond-reference)
     ctc_weight: float = 0.3           # lambda in L = l*ctc + (1-l)*att
     cif_quantity_weight: float = 1.0  # CIF quantity-loss scale
     cif_tail_threshold: float = 0.5
@@ -47,6 +48,13 @@ class ModelConfig:
     # offline-equality per complete chunk.
     enc_chunk_size: int = 0
     enc_left_chunks: int = -1
+    # Transducer (model_type == transducer): causal-transformer label
+    # predictor (num_pred_layers of the LM layer at d_model width) and the
+    # additive tanh joint network projected to d_joint. ctc_weight > 0 adds
+    # an auxiliary CTC head on the encoder (the standard convergence aid;
+    # also enables greedy_ctc decode on transducer checkpoints).
+    num_pred_layers: int = 2
+    d_joint: int = 512
     # numerics
     dtype: jnp.dtype = jnp.float32    # compute dtype (bfloat16 on TPU)
     param_dtype: jnp.dtype = jnp.float32
