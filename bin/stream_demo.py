@@ -41,6 +41,8 @@ def parse_args():
                         "(chunked ctc/hybrid models; 1-best may be "
                         "revised as audio arrives)")
     p.add_argument("--max-frames", type=int, default=3000)
+    p.add_argument("--restore", default="best", choices=["best", "latest"],
+                   help="which checkpoint to stream with")
     p.add_argument("--limit", type=int, default=0, help="max utterances")
     p.add_argument("--quiet", action="store_true",
                    help="summary only, no per-push prints")
@@ -68,9 +70,9 @@ def main():
     from tpu_asr.data import load_manifest
     from tpu_asr.decode.streaming import (StreamingCIFRecognizer,
                                           StreamingCTCBeamRecognizer,
-                                          StreamingCTCRecognizer)
+                                          StreamingCTCRecognizer,
+                                          StreamingTransducerRecognizer)
     from tpu_asr.frontend import FrontendConfig, wav_to_features
-    from tpu_asr.models import CifModel, Transformer
     from tpu_asr.train import TrainState, make_optimizer
     from tpu_asr.train.checkpoints import Checkpointer
     from tpu_asr.utils.cer import cer
@@ -82,13 +84,15 @@ def main():
               "appear at end-of-stream; train with --enc-chunk-size for "
               "real streaming", file=sys.stderr)
     is_cif = cfg.model_type == "cif"
+    is_transducer = cfg.model_type == "transducer"
 
     utts = load_manifest(args.manifest)
     if args.limit:
         utts = utts[: args.limit]
 
     # restore params (recognize.py pattern)
-    model = (CifModel if is_cif else Transformer)(cfg)
+    from tpu_asr.models import build_model
+    model = build_model(cfg)
     dummy_t = 80
     feats0 = jnp.zeros((1, dummy_t, cfg.d_input), jnp.float32)
     variables = model.init(jax.random.PRNGKey(0), feats0,
@@ -97,7 +101,9 @@ def main():
                            jnp.full((1,), 4, jnp.int32))
     tx = make_optimizer(cfg.d_model)
     state = TrainState.create(variables["params"], tx, jax.random.PRNGKey(0))
-    state, _ = ck.restore(state, step=ck.best_step())
+    step = (ck.latest_step() if args.restore == "latest"
+            else ck.best_step())
+    state, _ = ck.restore(state, step=step)
     params = {"params": state.params}
 
     fcfg = FrontendConfig()
@@ -119,7 +125,10 @@ def main():
                   f"(> --max-frames {args.max_frames}); skipping",
                   file=sys.stderr)
             continue
-        if is_cif:
+        if is_transducer:
+            rec = StreamingTransducerRecognizer(cfg, params,
+                                                max_frames=args.max_frames)
+        elif is_cif:
             rec = StreamingCIFRecognizer(cfg, params,
                                          max_frames=args.max_frames)
         elif args.beam > 1:
@@ -128,7 +137,7 @@ def main():
         else:
             rec = StreamingCTCRecognizer(cfg, params,
                                          max_frames=args.max_frames)
-        beam_mode = args.beam > 1 and not is_cif
+        beam_mode = args.beam > 1 and not is_cif and not is_transducer
         hyp_parts = []
         t0 = time.time()
         prev_best = []
@@ -142,6 +151,8 @@ def main():
                 done_enc = getattr(
                     rec, "_emitted_enc",
                     getattr(rec, "_alpha_done", None))
+                if done_enc is None and is_transducer:
+                    done_enc = rec._chunks_done * cfg.enc_chunk_size
                 if done_enc is None:   # beam mode: chunks advanced
                     done_enc = rec._chunks_done * cfg.enc_chunk_size
                 lags.append(min(pos + args.chunk_frames, len(feats))

@@ -174,3 +174,35 @@ def test_build_model_dispatch():
     assert type(build_model(
         dataclasses.replace(tiny_cfg(), model_type="hybrid",
                             num_dec_layers=1))).__name__ == "Transformer"
+
+
+def test_streaming_equals_offline_transducer():
+    """Chunked-encoder streaming greedy == offline greedy, exact tokens,
+    across ragged pushes; push is append-only."""
+    from tpu_asr.decode.streaming import StreamingTransducerRecognizer
+    rng = np.random.default_rng(5)
+    cfg = tiny_cfg(enc_chunk_size=4)
+    batch = make_batch(rng)
+    model, params = init_model(cfg, batch)
+    t = 137
+    feats = (rng.standard_normal((t, 80)) * 3).astype(np.float32)
+
+    ref_toks, ref_lens = transducer_greedy_decode(
+        model, params, jnp.asarray(feats[None]),
+        jnp.asarray([t], np.int32), max_tokens=32)
+    ref = [int(x) for x in np.asarray(ref_toks)[0, : int(ref_lens[0])]]
+
+    rec = StreamingTransducerRecognizer(cfg, params, max_frames=256,
+                                        max_tokens=32)
+    streamed, pos = [], 0
+    for sz in (9, 33, 4, 70, 2, 50):
+        take = min(sz, t - pos)
+        if take == 0:
+            break
+        new = rec.push(feats[pos: pos + take])
+        streamed.extend(new)
+        assert streamed == rec.hypothesis      # append-only
+        pos += take
+    hyp = rec.finish()
+    assert hyp[: len(streamed)] == streamed
+    assert hyp == ref

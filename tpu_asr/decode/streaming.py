@@ -534,3 +534,113 @@ class StreamingCIFRecognizer:
     @property
     def hypothesis(self) -> list[int]:
         return list(self._tokens)
+
+
+@dataclasses.dataclass(eq=False)
+class StreamingTransducerRecognizer:
+    """Streaming RNN-T greedy decode over the chunk-masked encoder.
+
+    The transducer is the natural streaming objective: decoding is
+    frame-synchronous AND label-history-conditioned, so unlike streaming
+    CTC greedy there is no independence assumption across emissions, and
+    unlike the CTC prefix beam the running hypothesis is append-only
+    (`push` returns newly final tokens, never revisions).
+
+    Composition: the KV-cached `Encoder.encode_chunk` produces each
+    chunk's (bitwise offline-equal) encoder frames; the greedy search
+    state (label count, predictor K/V cache, last joint projection g,
+    token buffer) is the carry across pushes
+    (decode/transducer_decode.py greedy_advance) — so the streamed
+    hypothesis is exactly the offline `transducer_greedy_decode` output
+    on the same chunked model (tested).
+    """
+
+    cfg: ModelConfig
+    params: dict
+    max_frames: int = 2000
+    max_tokens: int = 200
+    max_symbols_per_frame: int = 4
+
+    def __post_init__(self):
+        from tpu_asr.decode.transducer_decode import greedy_init
+        from tpu_asr.models import TransducerModel
+        from tpu_asr.models.encoder import Encoder
+        assert self.cfg.model_type == "transducer", \
+            f"needs model_type=transducer (got {self.cfg.model_type})"
+        assert self.cfg.input_layer == "conv2d" \
+            and self.cfg.enc_chunk_size > 0, \
+            "streaming transducer needs the chunked conv2d encoder"
+        self.model = TransducerModel(self.cfg)
+        chunk = self.cfg.enc_chunk_size
+        self._win = self.cfg.conv_input_window(chunk)
+        self._buf = np.zeros(
+            (1, self.max_frames + self._win, self.cfg.d_input), np.float32)
+        self._n = 0
+        self._chunks_done = 0
+        t_max = int(self.cfg.subsampled_length(self.max_frames))
+        t_max = ((t_max + chunk - 1) // chunk) * chunk
+        self._caches = Encoder(self.cfg).init_cache(1, t_max)
+        self._tstate = greedy_init(self.model, self.params, 1,
+                                   self.max_tokens)
+        self._finished = False
+
+    @partial(jax.jit, static_argnums=0)
+    def _chunk_step(self, params, window, chunk_idx, valid_upto,
+                    caches, tstate):
+        from tpu_asr.decode.transducer_decode import greedy_advance
+        chunk = self.cfg.enc_chunk_size
+
+        def enc(model, window, chunk_idx, valid_upto, caches):
+            enc_c, caches = model.encoder.encode_chunk(
+                window, chunk_idx, caches, valid_upto=valid_upto)
+            return model.enc_features(enc_c), caches
+
+        f_c, caches = self.model.apply(params, window, chunk_idx,
+                                       valid_upto, caches, method=enc)
+        n_local = jnp.clip(valid_upto - chunk_idx * chunk, 0, chunk)
+        tstate = greedy_advance(self.model, params, f_c, n_local[None],
+                                tstate, self.max_symbols_per_frame)
+        return caches, tstate
+
+    def _enc_len(self, n: int) -> int:
+        return max(int(self.cfg.subsampled_length(n)), 0)
+
+    def _advance(self, upto: int) -> list[int]:
+        chunk = self.cfg.enc_chunk_size
+        el = self._enc_len(self._n)
+        u_before = int(self._tstate["u"][0])
+        while self._chunks_done * chunk < upto:
+            k = self._chunks_done
+            start = self.cfg.conv_total_stride * k * chunk
+            window = jnp.asarray(self._buf[:, start: start + self._win])
+            self._caches, self._tstate = self._chunk_step(
+                self.params, window, jnp.asarray(k), jnp.asarray(el),
+                self._caches, self._tstate)
+            self._chunks_done += 1
+        u_after = int(self._tstate["u"][0])
+        toks = np.asarray(self._tstate["tokens"][0])
+        return [int(x) for x in toks[u_before:u_after]]
+
+    def push(self, frames: np.ndarray) -> list[int]:
+        """Append [t, D] feature frames; returns newly final token ids
+        (append-only — greedy transducer emissions are monotonic)."""
+        assert not self._finished, "push() after finish()"
+        t = frames.shape[0]
+        assert self._n + t <= self.max_frames, "stream exceeds max_frames"
+        self._buf[0, self._n:self._n + t] = frames
+        self._n += t
+        chunk = self.cfg.enc_chunk_size
+        el = self._enc_len(self._n)
+        return self._advance((el // chunk) * chunk)
+
+    def finish(self) -> list[int]:
+        """Decode the tail partial chunk and return the full hypothesis."""
+        if not self._finished:
+            self._advance(self._enc_len(self._n))
+            self._finished = True
+        return self.hypothesis
+
+    @property
+    def hypothesis(self) -> list[int]:
+        toks = np.asarray(self._tstate["tokens"][0])
+        return [int(x) for x in toks[: int(self._tstate["u"][0])]]
