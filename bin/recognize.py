@@ -38,7 +38,7 @@ def parse_args():
     p.add_argument("--mode", default="",
                    choices=["", "greedy_ctc", "ctc_beam", "beam", "joint",
                             "attn_rescore", "cif_greedy", "cif_beam",
-                            "transducer_greedy"])
+                            "transducer_greedy", "transducer_beam"])
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--nbest", type=int, default=1)
     p.add_argument("--max-len", type=int, default=100)
@@ -48,6 +48,10 @@ def parse_args():
                         "static --max-len only")
     p.add_argument("--minlenratio", type=float, default=0.0,
                    help="ban eos before ratio * encoder length tokens")
+    p.add_argument("--length-penalty", type=float, default=0.0,
+                   help="per-token reward added to final beam scores "
+                        "(counteracts short-hypothesis bias, e.g. RNN-T "
+                        "beam deletion bias)")
     p.add_argument("--ctc-weight", type=float, default=0.3)
     p.add_argument("--lm-ckpt", default="",
                    help="external LM checkpoint dir (bin/train_lm.py) for "
@@ -182,6 +186,7 @@ def main():
                                      nbest=args.nbest,
                                      maxlenratio=args.maxlenratio,
                                      minlenratio=args.minlenratio,
+                                     length_penalty=args.length_penalty,
                                      ctc_weight=args.ctc_weight
                                      if mode in ("joint", "attn_rescore")
                                      else 0.0,

@@ -206,3 +206,69 @@ def test_streaming_equals_offline_transducer():
     hyp = rec.finish()
     assert hyp[: len(streamed)] == streamed
     assert hyp == ref
+
+
+def test_beam1_equals_greedy():
+    """ALSD beam with W=1 reproduces greedy (when the greedy per-frame
+    emission cap is not binding)."""
+    from tpu_asr.decode.transducer_decode import transducer_beam_search
+    rng = np.random.default_rng(6)
+    cfg = tiny_cfg()
+    batch = make_batch(rng)
+    model, params = init_model(cfg, batch)
+    feats, flens = batch[0], batch[1]
+    gt, gl = transducer_greedy_decode(
+        model, params, jnp.asarray(feats), jnp.asarray(flens),
+        max_tokens=16, max_symbols_per_frame=16)
+    out = transducer_beam_search(model, params, jnp.asarray(feats),
+                                 jnp.asarray(flens), beam=1, max_tokens=16)
+    np.testing.assert_array_equal(np.asarray(gl), np.asarray(out["lengths"])[:, 0])
+    for i in range(feats.shape[0]):
+        li = int(gl[i])
+        np.testing.assert_array_equal(np.asarray(gt)[i, :li],
+                                      np.asarray(out["tokens"])[i, 0, :li])
+
+
+def test_beam_search_wellformed_and_deterministic():
+    from tpu_asr.decode.transducer_decode import transducer_beam_search
+    rng = np.random.default_rng(7)
+    cfg = tiny_cfg()
+    batch = make_batch(rng)
+    model, params = init_model(cfg, batch)
+    feats, flens = jnp.asarray(batch[0]), jnp.asarray(batch[1])
+    out = transducer_beam_search(model, params, feats, flens, beam=4,
+                                 max_tokens=16)
+    scores = np.asarray(out["scores"])
+    assert np.all(np.isfinite(scores))
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)     # sorted best-first
+    toks = np.asarray(out["tokens"])
+    lens = np.asarray(out["lengths"])
+    for i in range(toks.shape[0]):
+        for wday in range(4):
+            row = toks[i, wday]
+            assert np.all(row[: lens[i, wday]] > 0)
+            assert np.all(row[lens[i, wday]:] == -1)
+    out2 = transducer_beam_search(model, params, feats, flens, beam=4,
+                                  max_tokens=16)
+    np.testing.assert_array_equal(toks, np.asarray(out2["tokens"]))
+
+    # the greedy/beam-1 best score never beats the beam-4 best
+    out1 = transducer_beam_search(model, params, feats, flens, beam=1,
+                                  max_tokens=16)
+    assert np.all(np.asarray(out1["scores"])[:, 0]
+                  <= scores[:, 0] + 1e-5)
+
+
+def test_recognizer_transducer_beam_mode():
+    from tpu_asr.decode.beam import BeamConfig
+    from tpu_asr.decode.recognizer import Recognizer
+    rng = np.random.default_rng(8)
+    cfg = tiny_cfg()
+    batch = make_batch(rng)
+    model, params = init_model(cfg, batch)
+    rec = Recognizer(cfg=cfg, params=params, mode="transducer_beam",
+                     beam=BeamConfig(beam=3, max_len=16, nbest=2))
+    hyps = rec.decode_batch_nbest(
+        {"feats": batch[0], "feat_lengths": batch[1]})
+    assert len(hyps) == 3 and all(len(h) == 2 for h in hyps)
+    assert all(h[0]["score"] >= h[1]["score"] for h in hyps)

@@ -29,7 +29,7 @@ class Recognizer:
     cfg: ModelConfig
     params: dict
     beam: BeamConfig = BeamConfig()
-    mode: str = "beam"  # greedy_ctc | ctc_beam | beam | joint | attn_rescore | cif_greedy | cif_beam | transducer_greedy
+    mode: str = "beam"  # greedy_ctc | ctc_beam | beam | joint | attn_rescore | cif_greedy | cif_beam | transducer_greedy | transducer_beam
     frontend: FrontendConfig = FrontendConfig()
     # CIF fire-time alpha handling: True = self-scale to the rounded fire
     # count (train/inference boundary-geometry consistency); False = the
@@ -52,7 +52,7 @@ class Recognizer:
     def __post_init__(self):
         assert self.mode in ("greedy_ctc", "ctc_beam", "beam", "joint",
                              "attn_rescore", "cif_greedy", "cif_beam",
-                             "transducer_greedy")
+                             "transducer_greedy", "transducer_beam")
         mt = self.cfg.model_type
         if self.mode in ("greedy_ctc", "ctc_beam", "joint"):
             assert mt in ("ctc", "hybrid") or (
@@ -65,9 +65,9 @@ class Recognizer:
         if self.mode in ("beam", "joint"):
             assert mt in ("transformer", "hybrid"), \
                 f"mode {self.mode} needs an attention decoder (model_type={mt})"
-        if self.mode == "transducer_greedy":
+        if self.mode in ("transducer_greedy", "transducer_beam"):
             assert mt == "transducer", \
-                f"mode transducer_greedy needs model_type=transducer"
+                f"mode {self.mode} needs model_type=transducer"
         if self.mode in ("cif_greedy", "cif_beam"):
             assert mt == "cif", f"mode {self.mode} needs model_type=cif"
         from tpu_asr.models import build_model
@@ -122,6 +122,16 @@ class Recognizer:
         feats, flens = self._features(batch)
         return transducer_greedy_decode(self.model, params, feats, flens,
                                         max_tokens=self.beam.max_len)
+
+    @partial(jax.jit, static_argnums=0)
+    def _transducer_beam(self, params, batch):
+        """Alignment-length-synchronous transducer beam search (compiled)."""
+        from tpu_asr.decode.transducer_decode import transducer_beam_search
+        feats, flens = self._features(batch)
+        return transducer_beam_search(
+            self.model, params, feats, flens, beam=self.beam.beam,
+            max_tokens=self.beam.max_len,
+            length_penalty=self.beam.length_penalty)
 
     @partial(jax.jit, static_argnums=0)
     def _ctc_beam(self, params, batch):
@@ -207,10 +217,12 @@ class Recognizer:
             return [int(t) for t in row[:length]
                     if int(t) >= 0 and int(t) != eos]
 
-        if self.mode in ("beam", "joint", "ctc_beam", "attn_rescore"):
+        if self.mode in ("beam", "joint", "ctc_beam", "attn_rescore",
+                         "transducer_beam"):
             fn = {"ctc_beam": self._ctc_beam,
-                  "attn_rescore": self._attn_rescore}.get(self.mode,
-                                                          self._beam)
+                  "attn_rescore": self._attn_rescore,
+                  "transducer_beam": self._transducer_beam}.get(
+                      self.mode, self._beam)
             out = fn(self.params, arrays)
             toks = np.asarray(out["tokens"])           # [B, W, L]
             lens = np.asarray(out["lengths"])

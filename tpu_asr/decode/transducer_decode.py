@@ -122,3 +122,176 @@ def transducer_greedy_decode(model, params, feats, feat_lengths,
     state = greedy_advance(model, params, f, n_valid, state,
                            max_symbols_per_frame)
     return state["tokens"], state["u"]
+
+
+def transducer_beam_search(model, params, feats, feat_lengths,
+                           beam: int = 5, max_tokens: int = 200,
+                           label_cand: int = 0,
+                           length_penalty: float = 0.0):
+    """Alignment-length-synchronous transducer beam search, fully compiled.
+
+    ALSD (Saon et al., arXiv:2005.03271 family): every live hypothesis has
+    consumed the same number of alignment steps (t + u), so one
+    `lax.while_loop` iteration expands the WHOLE [B, W] beam front by one
+    step — each hypothesis proposes {blank (t+1)} + {top-K labels (u+1)}
+    scored by the joint at its own (t, u); the per-utterance top-W of the
+    W*(K+1) candidates survive. A hypothesis completes when its frame
+    pointer crosses its encoder length (its last blank IS the terminal
+    blank), after which it holds at fixed score.
+
+    Recombination: two hypotheses with the same label sequence and the
+    same frame pointer have identical futures, so their posterior mass is
+    merged (logaddexp) into one beam slot each iteration — without it the
+    probability of a label sequence splits across its alignments and the
+    beam consistently loses to greedy. Completed hypotheses recombine on
+    the label sequence alone. Exact: the merged slot's state (predictor
+    cache, tokens) is shared by construction.
+
+    Per-beam predictor KV caches ride the loop state flattened to
+    [B*W, ...] and are beam-reordered with the same one-hot MXU
+    permutation trick as decode/beam.py (take_along_axis inside a loop
+    lowers to W-way select chains on TPU).
+
+    Returns dict(tokens [B, W, max_tokens] (-1 padded), lengths [B, W],
+    scores [B, W]) sorted best-first; beam=1 equals greedy decode
+    (tested) when the greedy per-frame emission cap is not binding.
+    """
+    from tpu_asr.ops.topk import exact_top_k
+
+    enc_out, enc_lengths = model.apply(params, feats, feat_lengths,
+                                       method="encode")
+    f = model.apply(params, enc_out, method="enc_features")  # [B, T, dj]
+    b, t_max, dj = f.shape
+    w = beam
+    n = b * w
+    sos = model.cfg.vocab_size - 2
+    blank = 0
+    k = label_cand or min(w, model.cfg.vocab_size - 1)
+    neg_inf = -1e30
+    t_len = jnp.maximum(jnp.where(feat_lengths > 0, enc_lengths, 0), 0)
+    t_len_flat = jnp.repeat(t_len, w, axis=0)                 # [N]
+    b_rows = jnp.repeat(jnp.arange(b), w)                     # [N]
+    rows = jnp.arange(n)
+
+    cache0 = model.apply(params, n, max_tokens + 1,
+                         method="predictor_init_cache")
+    g0, cache0 = model.apply(
+        params, jnp.full((n,), sos, jnp.int32), jnp.zeros((n,), jnp.int32),
+        cache0, method="predictor_step")
+
+    def gather_beams(tree, beam_idx):
+        """Reorder [N, ...] leaves by per-batch beam indices [B, W]."""
+        perm = jax.nn.one_hot(beam_idx, w, axis=-1)           # [B, W, W]
+
+        def g(x):
+            if (jnp.issubdtype(x.dtype, jnp.floating)
+                    and x.size // n >= 512):
+                xr = x.reshape(b, w, -1)
+                out = jnp.einsum("bwv,bvf->bwf", perm.astype(x.dtype), xr)
+                return out.reshape(x.shape)
+            xr = x.reshape(b, w, *x.shape[1:])
+            idx = beam_idx.reshape(b, w, *([1] * (x.ndim - 1)))
+            return jnp.take_along_axis(xr, idx, axis=1).reshape(x.shape)
+
+        return jax.tree.map(g, tree)
+
+    state0 = dict(
+        t=jnp.zeros((n,), jnp.int32),
+        u=jnp.zeros((n,), jnp.int32),
+        done=(t_len_flat == 0),
+        scores=jnp.tile(jnp.where(jnp.arange(w)[None, :] == 0, 0.0,
+                                  neg_inf), (b, 1)),          # [B, W]
+        tokens=jnp.full((n, max_tokens), -1, jnp.int32),
+        g=g0,
+        cache=cache0,
+    )
+
+    def cond(st):
+        return jnp.any(~st["done"])
+
+    def body(st):
+        t, u, done = st["t"], st["u"], st["done"]
+        f_t = f[b_rows, jnp.clip(t, 0, t_max - 1)]            # [N, dj]
+        logits = model.apply(params, f_t, st["g"],
+                             method="joint_step")             # [N, V]
+        logp = jax.nn.log_softmax(logits, axis=-1)
+        blank_lp = logp[:, blank]
+        label_lp = logp.at[:, blank].set(neg_inf)
+        # sos/eos are not transducer output symbols
+        label_lp = label_lp.at[:, model.cfg.vocab_size - 2:].set(neg_inf)
+        cand_lp, cand_ids = exact_top_k(label_lp, k)          # [N, K]
+        # candidate slot 0 = blank/hold, 1..K = label extensions
+        at_cap = u >= max_tokens
+        step_score = jnp.concatenate(
+            [jnp.where(done, 0.0, blank_lp)[:, None],
+             jnp.where((done | at_cap)[:, None], neg_inf, cand_lp)],
+            axis=1)                                           # [N, K+1]
+        cand = st["scores"].reshape(n)[:, None] + step_score
+        top_scores, top_idx = exact_top_k(cand.reshape(b, w * (k + 1)), w)
+        beam_idx = top_idx // (k + 1)                         # [B, W]
+        slot_idx = (top_idx % (k + 1)).reshape(n)             # [N]
+
+        # reorder all per-beam state to the winners' source beams
+        flat_beam = (jnp.arange(b)[:, None] * w + beam_idx).reshape(n)
+        small = dict(t=t, u=u, done=done, tokens=st["tokens"], g=st["g"])
+        small = {kk: vv[flat_beam] for kk, vv in small.items()}
+        cache = gather_beams(st["cache"], beam_idx)
+        t_g, u_g, done_g = small["t"], small["u"], small["done"]
+
+        emit = (slot_idx > 0) & ~done_g
+        tok = jnp.take_along_axis(
+            cand_ids[flat_beam],
+            jnp.maximum(slot_idx - 1, 0)[:, None], axis=1)[:, 0]
+        u_clip = jnp.clip(u_g, 0, max_tokens - 1)
+        tokens = small["tokens"].at[rows, u_clip].set(
+            jnp.where(emit, tok, small["tokens"][rows, u_clip]))
+
+        k_safe = jnp.where(emit, tok, sos)
+        g_new, cache_new = model.apply(
+            params, k_safe, jnp.minimum(u_g + 1, max_tokens), cache,
+            method="predictor_step")
+        g = jnp.where(emit[:, None], g_new, small["g"])
+        cache = jax.tree.map(
+            lambda new, old: jnp.where(
+                emit.reshape((n,) + (1,) * (old.ndim - 1)), new, old),
+            cache_new, cache)
+
+        take_blank = (slot_idx == 0) & ~done_g
+        t_new = jnp.where(take_blank, t_g + 1, t_g)
+        u_new = jnp.where(emit, u_g + 1, u_g)
+        done_new = done_g | (t_new >= t_len_flat)
+
+        # (y, t) recombination: same label sequence + same frame pointer
+        # (done rows: same label sequence) => identical future. Merge
+        # posterior mass into the first such slot; duplicates drop to
+        # -inf and fall off at the next top-W.
+        tok_b = tokens.reshape(b, w, max_tokens)
+        t_key = jnp.where(done_new, -1, t_new).reshape(b, w)
+        u_b = u_new.reshape(b, w)
+        same = ((tok_b[:, :, None, :] == tok_b[:, None, :, :]).all(-1)
+                & (t_key[:, :, None] == t_key[:, None, :])
+                & (u_b[:, :, None] == u_b[:, None, :]))       # [B, W, W]
+        canon = jnp.argmax(same, axis=2)                      # first equal
+        is_canon = canon == jnp.arange(w)[None, :]
+        merged = jax.nn.logsumexp(
+            jnp.where(same, top_scores[:, None, :], neg_inf), axis=2)
+        scores_new = jnp.where(is_canon, merged, neg_inf)
+
+        return dict(
+            t=t_new,
+            u=u_new,
+            done=done_new,
+            scores=scores_new,
+            tokens=tokens, g=g, cache=cache)
+
+    final = jax.lax.while_loop(cond, body, state0)
+    lengths = final["u"].reshape(b, w)
+    scores = (final["scores"]
+              + length_penalty * lengths.astype(jnp.float32))
+    order = jnp.argsort(-scores, axis=1)
+    tokens = final["tokens"].reshape(b, w, max_tokens)
+    return {
+        "tokens": jnp.take_along_axis(tokens, order[..., None], axis=1),
+        "scores": jnp.take_along_axis(scores, order, axis=1),
+        "lengths": jnp.take_along_axis(lengths, order, axis=1),
+    }
