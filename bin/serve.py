@@ -33,7 +33,8 @@ def parse_args():
     p.add_argument("--port", type=int, default=8080)
     p.add_argument("--mode", default="",
                    choices=["", "greedy_ctc", "ctc_beam", "beam", "joint",
-                            "attn_rescore", "cif_greedy", "cif_beam"])
+                            "attn_rescore", "cif_greedy", "cif_beam",
+                            "transducer_greedy", "transducer_beam"])
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--max-len", type=int, default=100)
     p.add_argument("--ctc-weight", type=float, default=0.3)
@@ -87,7 +88,8 @@ def main():
     cfg = ck.load_config()
     mode = args.mode or {
         "ctc": "greedy_ctc", "transformer": "beam", "hybrid": "joint",
-        "cif": "cif_greedy"}[cfg.model_type]
+        "cif": "cif_greedy",
+        "transducer": "transducer_greedy"}[cfg.model_type]
     if mode == "joint" and cfg.model_type != "hybrid":
         mode = "beam"
 

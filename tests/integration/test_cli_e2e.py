@@ -191,3 +191,51 @@ def test_lm_train_and_fused_decode(tmp_path):
         summary = json.loads(out.stdout.strip().split("\n")[-1])
         assert summary["n_utts"] == 24
         assert summary["cer"] < gate, (mode, summary)
+
+
+def test_transducer_pipeline(tmp_path):
+    """Transducer family end-to-end: train (aux CTC), offline greedy +
+    beam decode, streaming demo — overfit quality gate on the train set."""
+    all_jsonl = tmp_path / "all.jsonl"
+    run_cli("prepare_data.py", "--synthetic", "24", "--vocab-size", "16",
+            "--out", str(all_jsonl))
+    lines = all_jsonl.read_text().strip().split("\n")
+    (tmp_path / "cv.jsonl").write_text("\n".join(lines[:4]) + "\n")
+    (tmp_path / "train.jsonl").write_text("\n".join(lines[4:]) + "\n")
+
+    exp = tmp_path / "exp_transducer"
+    out = run_cli("train.py", "--preset", "transducer_dev",
+                  "--train-manifest", str(tmp_path / "train.jsonl"),
+                  "--cv-manifest", str(tmp_path / "cv.jsonl"),
+                  "--vocab-size", "16", "--epochs", "140",
+                  "--enc-chunk-size", "4",
+                  "--save-folder", str(exp), "--platform", "cpu")
+    assert "done" in out.stderr
+
+    # offline greedy on the training set of the overfit model
+    hyp = tmp_path / "hyp.jsonl"
+    out = run_cli("recognize.py", "--ckpt", str(exp), "--restore", "latest",
+                  "--manifest", str(tmp_path / "train.jsonl"),
+                  "--max-len", "24", "--output", str(hyp),
+                  "--platform", "cpu")
+    summary = json.loads(out.stdout.strip().split("\n")[-1])
+    assert summary["mode"] == "transducer_greedy"
+    assert summary["cer"] < 0.30, summary
+
+    # ALSD beam decode runs and stays in the same quality regime
+    out = run_cli("recognize.py", "--ckpt", str(exp), "--restore", "latest",
+                  "--manifest", str(tmp_path / "train.jsonl"),
+                  "--mode", "transducer_beam", "--beam", "4",
+                  "--max-len", "24", "--platform", "cpu")
+    summary_b = json.loads(out.stdout.strip().split("\n")[-1])
+    assert summary_b["cer"] < 0.5, summary_b
+
+    # streaming demo: chunked incremental decode == plumbing + tokens flow
+    out = run_cli("stream_demo.py", "--ckpt", str(exp),
+                  "--manifest", str(tmp_path / "train.jsonl"),
+                  "--chunk-frames", "32", "--limit", "6",
+                  "--restore", "latest", "--platform", "cpu")
+    summary_s = json.loads(out.stdout.strip().split("\n")[-1])
+    assert summary_s["n_utts"] == 6
+    assert summary_s["cer"] < 0.5, summary_s
+    assert summary_s["mean_emission_lag_ms"] is not None

@@ -272,3 +272,33 @@ def test_recognizer_transducer_beam_mode():
         {"feats": batch[0], "feat_lengths": batch[1]})
     assert len(hyps) == 3 and all(len(h) == 2 for h in hyps)
     assert all(h[0]["score"] >= h[1]["score"] for h in hyps)
+
+
+def test_transducer_data_parallel_mesh_step():
+    """The transducer train step runs SPMD data-parallel unchanged (the
+    step is model-agnostic; this pins the new loss under GSPMD)."""
+    import jax as _jax
+    from tpu_asr.parallel import make_mesh, replicated, shard_batch
+    from tpu_asr.train import TrainState, make_optimizer
+    from tpu_asr.train.loop import make_train_step
+    assert len(_jax.devices()) == 8, "conftest must fake 8 CPU devices"
+    rng = np.random.default_rng(9)
+    cfg = tiny_cfg(ctc_weight=0.3)
+    feats = rng.standard_normal((8, 64, 80)).astype(np.float32)
+    flens = np.full(8, 64, np.int32)
+    targets = rng.integers(1, 10, (8, 5)).astype(np.int32)
+    tlens = np.full(8, 5, np.int32)
+    model, params = init_model(cfg, (feats, flens, targets, tlens))
+    mesh = make_mesh()
+    tx = make_optimizer(cfg.d_model, warmup_steps=10, k=5.0)
+    state = TrainState.create(params["params"], tx, jax.random.PRNGKey(1))
+    state = jax.device_put(state, replicated(mesh))
+    step = make_train_step(model, tx, donate=False, mesh=mesh)
+    batch = shard_batch(dict(feats=feats, feat_lengths=flens,
+                             targets=targets, target_lengths=tlens), mesh)
+    losses = []
+    for _ in range(4):
+        state, m = step(state, batch)
+        losses.append(float(m["loss"]))
+    assert losses[-1] < losses[0]
+    assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
