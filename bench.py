@@ -173,6 +173,43 @@ def bench_train_cif(batch_arrays):
     return bench_train_tpu(cfg, model, params, batch_arrays)
 
 
+def bench_transducer(batch_arrays, batches, audio_s):
+    """Transducer (RNN-T) extras: train steps/s at the standard b=32 x
+    1000-frame batch and greedy decode inverse-RTF on the same bucketed
+    AISHELL-like workload. Flagship-scale config (d512 encoder, 2-layer
+    predictor, d_joint 512, aux CTC 0.3, frame-fused remat loss)."""
+    import jax
+    import jax.numpy as jnp
+    from tpu_asr.decode.beam import BeamConfig
+    from tpu_asr.decode.recognizer import Recognizer
+    from tpu_asr.models import ModelConfig, build_model
+    feats, flens, targets, tlens = batch_arrays
+    cfg = ModelConfig(vocab_size=4233, model_type="transducer",
+                      ctc_weight=0.3, dtype=jnp.bfloat16,
+                      conv_channels=(32, 128), pallas_ctc=True,
+                      num_pred_layers=2, d_joint=512)
+    model = build_model(cfg)
+    t0 = time.time()
+    params = jax.jit(model.init)(jax.random.PRNGKey(0), feats, flens,
+                                 targets, tlens)
+    log(f"transducer init+compile: {time.time()-t0:.1f}s")
+    rec = Recognizer(cfg=cfg, params=params, mode="transducer_greedy",
+                     beam=BeamConfig(beam=1, max_len=MAX_LEN))
+    t0 = time.time()
+    for b_ in batches:
+        rec.decode_batch(b_)
+    log(f"transducer greedy compile+warmup: {time.time()-t0:.1f}s")
+    t0 = time.time()
+    for _ in range(3):
+        for b_ in batches:
+            rec.decode_batch(b_)
+    decode_rtf = audio_s / ((time.time() - t0) / 3)
+    # train bench donates params -> run last
+    steps = bench_train_tpu(cfg, model, params, batch_arrays)
+    return {"train_steps_per_sec": round(steps, 3),
+            "greedy_inverse_rtf": round(decode_rtf, 2)}
+
+
 def bench_serve(cfg, params, n_requests=48, mean_gap_ms=15.0):
     """End-to-end serving latency through the micro-batcher: Poisson-ish
     request arrivals (feats kind, AISHELL-length utterances) against the
@@ -301,6 +338,13 @@ def main():
         log(f"cif train bench failed: {e!r}")
         cif_steps_per_sec = None
 
+    try:
+        transducer_stats = bench_transducer(batch_arrays, batches, audio_s)
+        log(f"transducer extras: {transducer_stats}")
+    except Exception as e:
+        log(f"transducer bench failed: {e!r}")
+        transducer_stats = None
+
     # train bench donates params — must run last
     steps_per_sec = bench_train_tpu(cfg, model, params, batch_arrays)
     log(f"tpu hybrid train steps/sec (b={BATCH}, T={T_FRAMES}): "
@@ -322,6 +366,7 @@ def main():
             "greedy_ctc_inverse_rtf": round(greedy_rtf, 2),
             "attn_rescore_beam10_inverse_rtf": round(rescore_rtf, 2),
             "serve": serve_stats,
+            "transducer": transducer_stats,
             "torch_cpu_inverse_rtf": (round(torch_inv_rtf, 2)
                                       if vs else None),
             "torch_utts": TORCH_UTTS, "torch_passes": 3,
