@@ -146,8 +146,10 @@ def main():
     server.start()
 
     streams = None
-    if not args.no_streaming and cfg.model_type in ("ctc", "hybrid") and \
-            cfg.input_layer == "conv2d":
+    if not args.no_streaming and cfg.input_layer == "conv2d" and (
+            cfg.model_type in ("ctc", "hybrid")
+            or (cfg.model_type == "transducer"
+                and cfg.enc_chunk_size > 0)):
         streams = StreamSessions(cfg, params, beam=args.stream_beam)
 
     char_list = None

@@ -204,10 +204,12 @@ class AsrServer:
 class StreamSessions:
     """Per-session incremental decoding for the /stream endpoint.
 
-    Each session owns a StreamingCTCRecognizer (beam=1) or
-    StreamingCTCBeamRecognizer (beam>1); pushes return newly-final tokens
-    (greedy) or the current best prefix (beam). Sessions are host state;
-    device programs are shared/jit-cached across sessions.
+    Each session owns a StreamingCTCRecognizer (beam=1),
+    StreamingCTCBeamRecognizer (beam>1), or — for transducer models —
+    StreamingTransducerRecognizer (append-only emissions); pushes return
+    newly-final tokens (greedy/transducer) or the current best prefix
+    (beam). Sessions are host state; device programs are shared/jit-cached
+    across sessions.
     """
 
     def __init__(self, cfg, params, beam: int = 1, max_frames: int = 3000,
@@ -220,7 +222,11 @@ class StreamSessions:
 
     def _new_recognizer(self):
         from tpu_asr.decode.streaming import (StreamingCTCBeamRecognizer,
-                                              StreamingCTCRecognizer)
+                                              StreamingCTCRecognizer,
+                                              StreamingTransducerRecognizer)
+        if self.cfg.model_type == "transducer":
+            return StreamingTransducerRecognizer(
+                self.cfg, self.params, max_frames=self.max_frames)
         if self.beam > 1:
             return StreamingCTCBeamRecognizer(self.cfg, self.params,
                                               beam=self.beam,
@@ -253,8 +259,10 @@ class StreamSessions:
                 tokens = rec.finish()
                 del self._sessions[session_id]
                 return {"new_tokens": new, "tokens": tokens, "final": True}
-            return {"new_tokens": new, "tokens": list(rec._tokens)
-                    if hasattr(rec, "_tokens") else None, "final": False}
+            cur = (list(rec._tokens) if hasattr(rec, "_tokens")
+                   else rec.hypothesis if hasattr(rec, "hypothesis")
+                   else None)
+            return {"new_tokens": new, "tokens": cur, "final": False}
 
     @property
     def n_active(self) -> int:
