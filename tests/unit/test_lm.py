@@ -203,3 +203,40 @@ def test_attn_rescore_lm_decomposes(rng):
                     + cw * float(out["ctc_scores"][b, k]) + lw * lm_s)
             np.testing.assert_allclose(float(out["scores"][b, k]), want,
                                        rtol=1e-3, atol=1e-4)
+
+
+def test_lm_step_at_matches_step(rng):
+    """Per-row-position step_at == scalar-position step when positions
+    are uniform, and handles genuinely mixed positions (causality)."""
+    lm, v = _lm_with_params()
+    ys = jnp.asarray(rng.integers(0, VOCAB, (3, 6)).astype(np.int32))
+    cache_a = lm.apply(v, 3, 6, method=TransformerLM.init_cache)
+    cache_b = lm.apply(v, 3, 6, method=TransformerLM.init_cache)
+    for pos in range(6):
+        la, cache_a = lm.apply(v, ys[:, pos], pos, cache_a,
+                               method=TransformerLM.step)
+        lb, cache_b = lm.apply(v, ys[:, pos],
+                               jnp.full((3,), pos, jnp.int32), cache_b,
+                               method=TransformerLM.step_at)
+        np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                   rtol=2e-5, atol=2e-5)
+
+    # mixed per-row positions: row r has consumed r+1 tokens; each row's
+    # logits must equal the teacher-forced logits at its own position
+    tf = np.asarray(lm.apply(v, ys))
+    cache = lm.apply(v, 3, 6, method=TransformerLM.init_cache)
+    # feed rows to different depths: row0 -> pos0, row1 -> pos0..1, row2 -> pos0..2
+    for pos in range(3):
+        active = jnp.asarray([r >= pos for r in range(3)])
+        y_t = jnp.where(active, ys[:, pos], 0)
+        p = jnp.where(active, pos, 0).astype(jnp.int32)
+        lg, new_cache = lm.apply(v, y_t, p, cache,
+                                 method=TransformerLM.step_at)
+        cache = jax.tree.map(
+            lambda nw, od: jnp.where(
+                np.asarray(active).reshape((3,) + (1,) * (od.ndim - 1)),
+                nw, od), new_cache, cache)
+        for r in range(3):
+            if r >= pos:
+                np.testing.assert_allclose(np.asarray(lg)[r], tf[r, pos],
+                                           rtol=2e-5, atol=2e-5)

@@ -8,6 +8,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_asr.decode.transducer_decode import transducer_greedy_decode
 from tpu_asr.models import ModelConfig, TransducerModel, build_model
@@ -302,3 +303,62 @@ def test_transducer_data_parallel_mesh_step():
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0]
     assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
+
+
+def test_beam_lm_fusion_matches_host_oracle():
+    """Fused ALSD beam-1 == a host loop that scores label extensions with
+    acoustic + lm_weight * teacher-forced LM log-probs (independent oracle
+    for both the fusion arithmetic and the LM step_at cache path)."""
+    from tpu_asr.decode.transducer_decode import transducer_beam_search
+    from tpu_asr.models.lm import LMConfig, TransformerLM
+    rng = np.random.default_rng(10)
+    cfg = tiny_cfg()
+    batch = make_batch(rng, b=2)
+    model, params = init_model(cfg, batch)
+    lm_cfg = LMConfig(vocab_size=cfg.vocab_size, d_model=16, d_inner=32,
+                      num_heads=2, num_layers=1, dropout=0.0)
+    lm = TransformerLM(lm_cfg)
+    lm_v = lm.init(jax.random.PRNGKey(3), jnp.zeros((1, 4), jnp.int32))
+    lam = 0.7
+    feats, flens = batch[0][:2], batch[1][:2]
+
+    out = transducer_beam_search(model, params, jnp.asarray(feats),
+                                 jnp.asarray(flens), beam=1, max_tokens=12,
+                                 lm=lm, lm_params=lm_v, lm_weight=lam)
+
+    sos, blank = cfg.vocab_size - 2, 0
+    for i in range(2):
+        enc, el = model.apply(params, jnp.asarray(feats[i: i + 1]),
+                              jnp.asarray(flens[i: i + 1]), method="encode")
+        f = model.apply(params, enc, method="enc_features")[0]
+        cache = model.apply(params, 1, 13, method="predictor_init_cache")
+        g, cache = model.apply(params, jnp.array([sos], jnp.int32),
+                               jnp.array([0], jnp.int32), cache,
+                               method="predictor_step")
+        toks, score, t = [], 0.0, 0
+        while t < int(el[0]):
+            logits = model.apply(params, f[t: t + 1], g,
+                                 method="joint_step")
+            lp = np.asarray(jax.nn.log_softmax(logits[0]))
+            # teacher-forced LM next-token distribution given history
+            ys = jnp.asarray([[sos] + toks], jnp.int32)
+            lm_lp = np.asarray(jax.nn.log_softmax(
+                lm.apply(lm_v, ys).astype(jnp.float32)[0, -1]))
+            fused = lp + lam * lm_lp
+            fused[blank] = -1e30           # blank compared unfused
+            fused[cfg.vocab_size - 2:] = -1e30
+            best_lab = int(np.argmax(fused))
+            if lp[blank] >= fused[best_lab] or len(toks) >= 12:
+                score += lp[blank]
+                t += 1
+            else:
+                score += fused[best_lab]
+                toks.append(best_lab)
+                g, cache = model.apply(
+                    params, jnp.array([best_lab], jnp.int32),
+                    jnp.array([len(toks)], jnp.int32), cache,
+                    method="predictor_step")
+        got = [int(x) for x in np.asarray(out["tokens"])[i, 0,
+                                                         : int(out["lengths"][i, 0])]]
+        assert got == toks, (i, got, toks)
+        assert float(out["scores"][i, 0]) == pytest.approx(score, abs=1e-3)

@@ -75,7 +75,8 @@ class Recognizer:
         self.lm = None
         if self.lm_cfg is not None and self.beam.lm_weight > 0.0:
             from tpu_asr.models.lm import TransformerLM
-            assert self.mode in ("beam", "joint", "attn_rescore"), \
+            assert self.mode in ("beam", "joint", "attn_rescore",
+                                 "transducer_beam"), \
                 f"LM fusion not supported in mode {self.mode}"
             assert self.lm_cfg.vocab_size == self.cfg.vocab_size, \
                 (self.lm_cfg.vocab_size, self.cfg.vocab_size)
@@ -131,7 +132,9 @@ class Recognizer:
         return transducer_beam_search(
             self.model, params, feats, flens, beam=self.beam.beam,
             max_tokens=self.beam.max_len,
-            length_penalty=self.beam.length_penalty)
+            length_penalty=self.beam.length_penalty,
+            lm=self.lm, lm_params=self.lm_params,
+            lm_weight=self.beam.lm_weight)
 
     @partial(jax.jit, static_argnums=0)
     def _ctc_beam(self, params, batch):

@@ -127,7 +127,9 @@ def transducer_greedy_decode(model, params, feats, feat_lengths,
 def transducer_beam_search(model, params, feats, feat_lengths,
                            beam: int = 5, max_tokens: int = 200,
                            label_cand: int = 0,
-                           length_penalty: float = 0.0):
+                           length_penalty: float = 0.0,
+                           lm=None, lm_params=None,
+                           lm_weight: float = 0.0):
     """Alignment-length-synchronous transducer beam search, fully compiled.
 
     ALSD (Saon et al., arXiv:2005.03271 family): every live hypothesis has
@@ -151,6 +153,13 @@ def transducer_beam_search(model, params, feats, feat_lengths,
     [B*W, ...] and are beam-reordered with the same one-hot MXU
     permutation trick as decode/beam.py (take_along_axis inside a loop
     lowers to W-way select chains on TPU).
+
+    Optional shallow fusion (lm/lm_params/lm_weight, espnet convention,
+    mirroring decode/beam.py): label extensions score
+    += lm_weight * logP_lm(token | history); blank transitions carry no LM
+    term. The external TransformerLM advances via its per-row-position
+    cached ``step_at`` only on emitting rows, its KV caches riding the
+    same carry/reorder machinery as the predictor's.
 
     Returns dict(tokens [B, W, max_tokens] (-1 padded), lengths [B, W],
     scores [B, W]) sorted best-first; beam=1 equals greedy decode
@@ -179,6 +188,19 @@ def transducer_beam_search(model, params, feats, feat_lengths,
         params, jnp.full((n,), sos, jnp.int32), jnp.zeros((n,), jnp.int32),
         cache0, method="predictor_step")
 
+    use_lm = lm is not None and lm_weight > 0.0
+    if use_lm:
+        lm_cache0 = lm.apply(lm_params, n, max_tokens + 1,
+                             method=type(lm).init_cache)
+        lm_logits0, lm_cache0 = lm.apply(
+            lm_params, jnp.full((n,), sos, jnp.int32),
+            jnp.zeros((n,), jnp.int32), lm_cache0,
+            method=type(lm).step_at)
+        lm_logp0 = jax.nn.log_softmax(lm_logits0.astype(jnp.float32),
+                                      axis=-1)
+    else:
+        lm_cache0, lm_logp0 = (), jnp.zeros((n, 1), jnp.float32)
+
     def gather_beams(tree, beam_idx):
         """Reorder [N, ...] leaves by per-batch beam indices [B, W]."""
         perm = jax.nn.one_hot(beam_idx, w, axis=-1)           # [B, W, W]
@@ -204,6 +226,8 @@ def transducer_beam_search(model, params, feats, feat_lengths,
         tokens=jnp.full((n, max_tokens), -1, jnp.int32),
         g=g0,
         cache=cache0,
+        lm_logp=lm_logp0,
+        lm_cache=lm_cache0,
     )
 
     def cond(st):
@@ -219,6 +243,11 @@ def transducer_beam_search(model, params, feats, feat_lengths,
         label_lp = logp.at[:, blank].set(neg_inf)
         # sos/eos are not transducer output symbols
         label_lp = label_lp.at[:, model.cfg.vocab_size - 2:].set(neg_inf)
+        if use_lm:
+            # shallow fusion reweights the label scores BEFORE candidate
+            # selection (the acoustic-only top-K could exclude the
+            # LM-preferred token at char vocabularies)
+            label_lp = label_lp + lm_weight * st["lm_logp"]
         cand_lp, cand_ids = exact_top_k(label_lp, k)          # [N, K]
         # candidate slot 0 = blank/hold, 1..K = label extensions
         at_cap = u >= max_tokens
@@ -236,6 +265,10 @@ def transducer_beam_search(model, params, feats, feat_lengths,
         small = dict(t=t, u=u, done=done, tokens=st["tokens"], g=st["g"])
         small = {kk: vv[flat_beam] for kk, vv in small.items()}
         cache = gather_beams(st["cache"], beam_idx)
+        lm_cache = (gather_beams(st["lm_cache"], beam_idx) if use_lm
+                    else st["lm_cache"])
+        lm_logp = (gather_beams(st["lm_logp"], beam_idx) if use_lm
+                   else st["lm_logp"])
         t_g, u_g, done_g = small["t"], small["u"], small["done"]
 
         emit = (slot_idx > 0) & ~done_g
@@ -250,11 +283,18 @@ def transducer_beam_search(model, params, feats, feat_lengths,
         g_new, cache_new = model.apply(
             params, k_safe, jnp.minimum(u_g + 1, max_tokens), cache,
             method="predictor_step")
+        emit_select = lambda new, old: jnp.where(
+            emit.reshape((n,) + (1,) * (old.ndim - 1)), new, old)
         g = jnp.where(emit[:, None], g_new, small["g"])
-        cache = jax.tree.map(
-            lambda new, old: jnp.where(
-                emit.reshape((n,) + (1,) * (old.ndim - 1)), new, old),
-            cache_new, cache)
+        cache = jax.tree.map(emit_select, cache_new, cache)
+        if use_lm:
+            lm_logits_new, lm_cache_new = lm.apply(
+                lm_params, k_safe, jnp.minimum(u_g + 1, max_tokens),
+                lm_cache, method=type(lm).step_at)
+            lm_logp_new = jax.nn.log_softmax(
+                lm_logits_new.astype(jnp.float32), axis=-1)
+            lm_logp = jnp.where(emit[:, None], lm_logp_new, lm_logp)
+            lm_cache = jax.tree.map(emit_select, lm_cache_new, lm_cache)
 
         take_blank = (slot_idx == 0) & ~done_g
         t_new = jnp.where(take_blank, t_g + 1, t_g)
@@ -282,7 +322,8 @@ def transducer_beam_search(model, params, feats, feat_lengths,
             u=u_new,
             done=done_new,
             scores=scores_new,
-            tokens=tokens, g=g, cache=cache)
+            tokens=tokens, g=g, cache=cache,
+            lm_logp=lm_logp, lm_cache=lm_cache)
 
     final = jax.lax.while_loop(cond, body, state0)
     lengths = final["u"].reshape(b, w)

@@ -154,6 +154,37 @@ class TransformerLM(nn.Module):
         logits = self._project_out(y)[:, 0]                      # [B, V]
         return logits, new_cache
 
+    def step_at(self, y_prev, pos, cache):
+        """Like ``step`` but with PER-ROW positions pos [B] — required by
+        alignment-synchronous searches (transducer ALSD fusion) where each
+        beam row is at its own history length. Cache appends are batched
+        scatters; the mask admits positions <= pos per row. Equals ``step``
+        when all rows share one position (tested)."""
+        c = self.cfg
+        b = y_prev.shape[0]
+        u_max = cache["layer_0"]["k"].shape[1]
+        from tpu_asr.models.modules import sinusoid_table
+        table = jnp.asarray(sinusoid_table(c.pe_maxlen, c.d_model))
+        scale = (jnp.asarray(c.d_model, jnp.float32) ** 0.5).astype(c.dtype)
+        pe = jnp.take(table, pos, axis=0)[:, None, :].astype(c.dtype)
+        y = self.embed(y_prev[:, None]) * scale + pe
+        allowed = (jnp.arange(u_max)[None, :] <= pos[:, None])
+        self_bias = mask_to_bias(allowed[:, None, None, :], c.dtype)
+        rows = jnp.arange(b)
+        new_cache = {}
+        for i, layer in enumerate(self.layers):
+            key = f"layer_{i}"
+            k_t, v_t = layer.slf_attn.project_kv_step(y)
+            k = cache[key]["k"].at[rows, pos].set(k_t[:, 0])
+            v = cache[key]["v"].at[rows, pos].set(v_t[:, 0])
+            h = layer.slf_attn.step(y, k, v, self_bias)
+            y = layer.post_slf(y, h)
+            h = layer.ffn(y)
+            y = layer.post_ffn(y, h)
+            new_cache[key] = {"k": k, "v": v}
+        logits = self._project_out(y)[:, 0]
+        return logits, new_cache
+
 
 # ---- config sidecar (parallel to Checkpointer.save_config, which is
 # ModelConfig-typed; the LM keeps its own lm_config.json so an LM
