@@ -134,17 +134,30 @@ if [[ $stage -le 2 ]]; then
     --save-folder "$exp" ${train_extra[@]+"${train_extra[@]}"}
 fi
 
+# primary decode mode per model family (hybrid presets use joint
+# CTC/attention; transducer presets the ALSD beam; cif its own decode)
+case "$preset" in
+  transducer*) decode_mode=transducer_beam ;;
+  cif*)        decode_mode=cif_greedy ;;
+  ctc*|streaming) decode_mode=ctc_beam ;;
+  attention*)  decode_mode=beam ;;
+  *)           decode_mode=joint ;;
+esac
+
 if [[ $stage -le 3 ]]; then
-  echo "=== stage 3: decode + score (joint CTC/attention) ==="
+  echo "=== stage 3: decode + score ($decode_mode) ==="
   python bin/recognize.py --ckpt "$exp" --manifest data/aishell/test.jsonl \
-    --mode joint --beam "$nj_decode_beam" --output "$exp/test_hyp.jsonl" \
+    --mode "$decode_mode" --beam "$nj_decode_beam" \
+    --output "$exp/test_hyp.jsonl" \
     ${recog_extra[@]+"${recog_extra[@]}"} | tee "$exp/decode_summary.json"
-  # two-pass attention rescoring (beyond-reference): ~2x decode throughput
-  python bin/recognize.py --ckpt "$exp" --manifest data/aishell/test.jsonl \
-    --mode attn_rescore --beam "$nj_decode_beam" --ctc-weight 0.5 \
-    --output "$exp/test_hyp_rescore.jsonl" \
-    ${recog_extra[@]+"${recog_extra[@]}"} \
-    | tee "$exp/decode_summary_rescore.json"
+  if [[ "$decode_mode" == joint ]]; then
+    # two-pass attention rescoring (beyond-reference): ~2x decode throughput
+    python bin/recognize.py --ckpt "$exp" --manifest data/aishell/test.jsonl \
+      --mode attn_rescore --beam "$nj_decode_beam" --ctc-weight 0.5 \
+      --output "$exp/test_hyp_rescore.jsonl" \
+      ${recog_extra[@]+"${recog_extra[@]}"} \
+      | tee "$exp/decode_summary_rescore.json"
+  fi
 fi
 
 if [[ $stage -le 4 ]]; then
@@ -153,7 +166,7 @@ if [[ $stage -le 4 ]]; then
   : > "$exp/cer_vs_beam.jsonl"
   for b in 1 5 10; do
     python bin/recognize.py --ckpt "$exp" --manifest data/aishell/test.jsonl \
-      --mode joint --beam "$b" --output "$exp/test_hyp_beam$b.jsonl" \
+      --mode "$decode_mode" --beam "$b" --output "$exp/test_hyp_beam$b.jsonl" \
       ${recog_extra[@]+"${recog_extra[@]}"} \
       | python -c "import sys,json; s=json.loads(sys.stdin.readlines()[-1]); \
 s['beam']=$b; print(json.dumps(s))" >> "$exp/cer_vs_beam.jsonl"
