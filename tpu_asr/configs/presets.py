@@ -100,6 +100,26 @@ PRESETS: dict[str, TrainConfig] = {
                                   cif_quantity_weight=1.0),
         decode_mode="cif_greedy",
         beam=BeamConfig(beam=1, max_len=100)),
+    # conformer encoder (beyond the reference): macaron blocks with
+    # relative-position MHSA + depthwise-conv module under the hybrid
+    # objective — swap encoder_type, everything else unchanged
+    "conformer_dev": TrainConfig(
+        model=dataclasses.replace(
+            _BASE, model_type="hybrid", ctc_weight=0.3, d_model=64,
+            d_inner=128, num_heads=2, num_enc_layers=2, num_dec_layers=2,
+            dropout=0.0, encoder_type="conformer", conv_kernel=7),
+        epochs=30, warmup_steps=100, lr_k=1.0, batch_frames=8000,
+        num_buckets=2, decode_mode="joint",
+        beam=BeamConfig(beam=5, max_len=24, ctc_weight=0.3)),
+    "conformer": TrainConfig(
+        model=dataclasses.replace(_BASE, model_type="hybrid",
+                                  ctc_weight=0.3, dtype=jnp.bfloat16,
+                                  conv_channels=(32, 128), pallas_ctc=True,
+                                  encoder_type="conformer"),
+        epochs=80, batch_frames=32000, num_buckets=6,
+        specaug=SpecAugmentConfig(),
+        decode_mode="joint",
+        beam=BeamConfig(beam=10, max_len=100, ctc_weight=0.3)),
     # transducer (beyond the reference): RNN-T with a causal-transformer
     # predictor — the standard streaming production objective
     # (Transformer-Transducer, PAPERS.md). Aux CTC head (ctc_weight)

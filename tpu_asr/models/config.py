@@ -25,6 +25,13 @@ class ModelConfig:
     dropout: float = 0.1
     pe_maxlen: int = 5000
     input_layer: str = "conv2d"       # conv2d (4x subsample) | linear (use LFR)
+    # Encoder block family (beyond-reference): "transformer" = the
+    # reference's post-norm MHSA+FFN; "conformer" = pre-norm macaron
+    # blocks with relative-position MHSA and a depthwise-conv module
+    # (models/conformer.py) — same subsample/masks/objectives.
+    encoder_type: str = "transformer"
+    conv_kernel: int = 15             # conformer depthwise-conv width
+    #                                   (causal when enc_chunk_size > 0)
     conv_channels: int | tuple = 256  # conv2d front-end channels (int, or
     #                                   (conv1, conv2) to grow channels as
     #                                   time/freq resolution shrinks)

@@ -76,8 +76,14 @@ class Encoder(nn.Module):
             raise ValueError(f"unknown input_layer {c.input_layer!r}")
         self.pe = PositionalEncoding(c.d_model, c.pe_maxlen, c.dtype)
         self.dropout = nn.Dropout(c.dropout)
-        self.layers = [EncoderLayer(c, name=f"layer_{i}")
-                       for i in range(c.num_enc_layers)]
+        if c.encoder_type == "conformer":
+            from tpu_asr.models.conformer import ConformerLayer
+            self.layers = [ConformerLayer(c, name=f"layer_{i}")
+                           for i in range(c.num_enc_layers)]
+        else:
+            assert c.encoder_type == "transformer", c.encoder_type
+            self.layers = [EncoderLayer(c, name=f"layer_{i}")
+                           for i in range(c.num_enc_layers)]
 
     def __call__(self, feats, feat_lengths, deterministic: bool = True):
         """[B, T, D_in] + [B] -> ([B, T', d_model], [B] lengths)."""
@@ -87,7 +93,13 @@ class Encoder(nn.Module):
         else:
             x = self.norm_in(self.linear_in(feats))
             out_lengths = feat_lengths
-        x = self.dropout(self.pe(x), deterministic=deterministic)
+        conformer = c.encoder_type == "conformer"
+        if conformer:
+            # relative positions live inside the attention scores; no
+            # absolute PE is added to the input (Conformer convention)
+            x = self.dropout(x, deterministic=deterministic)
+        else:
+            x = self.dropout(self.pe(x), deterministic=deterministic)
         t = x.shape[1]
         valid = make_valid_mask(out_lengths, t)                 # [B, T']
         if c.enc_chunk_size > 0:
@@ -103,8 +115,16 @@ class Encoder(nn.Module):
             bias = mask_to_bias(mask, c.dtype)
         else:
             bias = mask_to_bias(valid[:, None, None, :], c.dtype)  # [B,1,1,T']
-        for layer in self.layers:
-            x = layer(x, bias, deterministic=deterministic)
+        if conformer:
+            from tpu_asr.models.conformer import rel_sinusoid_table
+            pos_emb = jnp.asarray(rel_sinusoid_table(t, c.d_model)).astype(
+                c.dtype)
+            for layer in self.layers:
+                x = layer(x, pos_emb, bias, valid,
+                          deterministic=deterministic)
+        else:
+            for layer in self.layers:
+                x = layer(x, bias, deterministic=deterministic)
         x = jnp.where(valid[..., None], x, 0.0)
         return x, out_lengths
 
@@ -132,6 +152,11 @@ class Encoder(nn.Module):
         """
         c = self.cfg
         assert c.input_layer == "conv2d", "chunked encoding needs conv2d"
+        assert c.encoder_type == "transformer", \
+            "incremental chunked encoding supports the transformer " \
+            "encoder; conformer models decode chunk-masked offline " \
+            "(causal conv keeps per-chunk finality) but have no KV-cached " \
+            "incremental path yet"
         chunk = c.enc_chunk_size
         assert chunk > 0, "chunked encoding needs enc_chunk_size > 0"
         assert feat_window.shape[1] == 4 * chunk + 3, feat_window.shape
