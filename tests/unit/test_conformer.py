@@ -131,3 +131,70 @@ def test_conformer_trains_down():
         state, m = step(state, batch)
         losses.append(float(m["loss"]))
     assert losses[-1] < losses[0], losses
+
+
+def test_conformer_encode_chunk_equals_offline():
+    """Incremental conformer chunks (KV + conv caches) reproduce the
+    offline chunk-masked encoder outputs exactly."""
+    rng = np.random.default_rng(5)
+    cfg = conf_cfg(enc_chunk_size=4)
+    enc, v = _enc_params(cfg)
+    t_frames = 128
+    feats = rng.standard_normal((1, t_frames, 80)).astype(np.float32)
+    full, el = enc.apply(v, jnp.asarray(feats),
+                         jnp.asarray([t_frames], np.int32))
+    el = int(el[0])
+    chunk = cfg.enc_chunk_size
+    t_max = ((el + chunk - 1) // chunk) * chunk
+    caches = enc.init_cache(1, t_max)
+    win = cfg.conv_input_window(chunk)
+    stride = cfg.conv_total_stride
+    buf = np.zeros((1, t_frames + win, 80), np.float32)
+    buf[:, :t_frames] = feats
+    got = []
+    for k_idx in range(el // chunk):
+        window = jnp.asarray(buf[:, stride * k_idx * chunk:
+                                 stride * k_idx * chunk + win])
+        out, caches = enc.apply(v, window, k_idx, caches, el,
+                                method=Encoder.encode_chunk)
+        got.append(np.asarray(out))
+    got = np.concatenate(got, axis=1)
+    n = got.shape[1]
+    np.testing.assert_allclose(got, np.asarray(full)[:, :n],
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_conformer_streaming_ctc_equals_offline():
+    """End-to-end: StreamingCTCRecognizer over a chunked CONFORMER model
+    == offline greedy decode, any push segmentation."""
+    from tpu_asr.decode.recognizer import Recognizer
+    from tpu_asr.decode.streaming import StreamingCTCRecognizer
+    rng = np.random.default_rng(6)
+    cfg = conf_cfg(model_type="ctc", num_dec_layers=0, enc_chunk_size=4)
+    enc_model = Transformer(cfg)
+    feats0 = jnp.zeros((1, 60, 80), jnp.float32)
+    params = enc_model.init(jax.random.PRNGKey(0), feats0,
+                            jnp.full((1,), 60, jnp.int32),
+                            jnp.zeros((1, 4), jnp.int32),
+                            jnp.full((1,), 4, jnp.int32))
+    t = 150
+    feats = (rng.standard_normal((t, 80)) * 3).astype(np.float32)
+    offline = Recognizer(cfg=cfg, params=params, mode="greedy_ctc")
+    ref = offline.decode_batch({
+        "feats": feats[None], "feat_lengths": np.asarray([t], np.int32)})[0]
+    rec = StreamingCTCRecognizer(cfg, params, max_frames=256)
+    assert rec.incremental          # the KV+conv cached path
+    streamed = []
+    pos = 0
+    for sz in (11, 37, 5, 60, 2, 80):
+        take = min(sz, t - pos)
+        if take == 0:
+            break
+        streamed.extend(rec.push(feats[pos: pos + take]))
+        pos += take
+    hyp = rec.finish()
+    assert hyp[: len(streamed)] == streamed
+    # Recognizer.clean() drops the (reserved) eos id from hypotheses; the
+    # raw streaming token list emits it freely on this random model —
+    # compare modulo that filtering.
+    assert [x for x in hyp if x != cfg.vocab_size - 1] == ref

@@ -19,8 +19,11 @@ TPU-first notes:
   invariant to the static bucket width (the same discipline as the
   encoder's output masking). With a chunk-masked encoder
   (enc_chunk_size > 0) the depthwise conv becomes CAUSAL (left-padded
-  only), so a chunk's outputs never depend on future frames and offline
-  chunked decode stays final per chunk.
+  only), so a chunk's outputs never depend on future frames and the
+  streaming recognizers' incremental path works unchanged: the encoder
+  chunk step (Encoder.encode_chunk) carries per-layer attention K/V
+  caches PLUS a (kernel-1)-frame post-GLU conv cache, and its outputs
+  equal the offline pass exactly (tested).
 
 * Norm inside the conv module is LayerNorm over channels rather than the
   paper's BatchNorm: functionally stateless (no batch_stats collection
@@ -70,35 +73,82 @@ class RelPosMultiHeadAttention(nn.Module):
     score = (q + u)k^T + rel_shift((q + v)p^T), per Conformer."""
     cfg: ModelConfig
 
-    @nn.compact
-    def __call__(self, x, pos_emb, bias, deterministic: bool = True):
+    def setup(self):
         c = self.cfg
         h, dh = c.num_heads, c.d_head
-        dense = lambda name: nn.DenseGeneral(
-            (h, dh), dtype=c.dtype, param_dtype=c.param_dtype, name=name)
-        q = dense("q_proj")(x)                            # [B, T, H, dh]
-        k = dense("k_proj")(x)
-        v = dense("v_proj")(x)
-        p = nn.DenseGeneral((h, dh), use_bias=False, dtype=c.dtype,
-                            param_dtype=c.param_dtype,
-                            name="pos_proj")(pos_emb)     # [2T-1, H, dh]
-        u_bias = self.param("u_bias", nn.initializers.zeros, (h, dh),
-                            c.param_dtype).astype(c.dtype)
-        v_bias = self.param("v_bias", nn.initializers.zeros, (h, dh),
-                            c.param_dtype).astype(c.dtype)
-        content = jnp.einsum("bqhd,bkhd->bhqk", q + u_bias, k)
-        pos_score = jnp.einsum("bqhd,nhd->bhqn", q + v_bias, p)
-        pos_score = rel_shift(pos_score)                  # [B, H, T, T]
-        scale = jnp.sqrt(jnp.asarray(dh, jnp.float32)).astype(c.dtype)
+        dense = lambda: nn.DenseGeneral(
+            (h, dh), dtype=c.dtype, param_dtype=c.param_dtype)
+        self.q_proj = dense()
+        self.k_proj = dense()
+        self.v_proj = dense()
+        self.pos_proj = nn.DenseGeneral(
+            (h, dh), use_bias=False, dtype=c.dtype,
+            param_dtype=c.param_dtype)
+        self.out_proj = nn.DenseGeneral(
+            c.d_model, axis=(-2, -1), dtype=c.dtype,
+            param_dtype=c.param_dtype)
+        self.u_bias = self.param("u_bias", nn.initializers.zeros, (h, dh),
+                                 c.param_dtype)
+        self.v_bias = self.param("v_bias", nn.initializers.zeros, (h, dh),
+                                 c.param_dtype)
+
+    def _finish(self, content, pos_score, v, bias):
+        c = self.cfg
+        scale = jnp.sqrt(jnp.asarray(c.d_head, jnp.float32)).astype(c.dtype)
         scores = (content + pos_score) / scale
         if bias is not None:
             scores = scores + bias
         probs = jax.nn.softmax(scores.astype(jnp.float32),
                                axis=-1).astype(c.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", probs, v)
-        return nn.DenseGeneral(c.d_model, axis=(-2, -1), dtype=c.dtype,
-                               param_dtype=c.param_dtype,
-                               name="out_proj")(out)
+        return self.out_proj(out)
+
+    def __call__(self, x, pos_emb, bias, deterministic: bool = True):
+        c = self.cfg
+        q = self.q_proj(x)                                # [B, T, H, dh]
+        k = self.k_proj(x)
+        v = self.v_proj(x)
+        p = self.pos_proj(pos_emb)                        # [2T-1, H, dh]
+        u_bias = self.u_bias.astype(c.dtype)
+        v_bias = self.v_bias.astype(c.dtype)
+        content = jnp.einsum("bqhd,bkhd->bhqk", q + u_bias, k)
+        pos_score = jnp.einsum("bqhd,nhd->bhqn", q + v_bias, p)
+        pos_score = rel_shift(pos_score)                  # [B, H, T, T]
+        return self._finish(content, pos_score, v, bias)
+
+    def step(self, x_chunk, pos, k_cache, v_cache, bias):
+        """Streaming chunk step: x_chunk [B, C, D] at global positions
+        pos..pos+C-1; k/v caches [B, t_max, H, dh] are appended at pos.
+        Relative scores against ALL cached positions come from the full
+        [2*t_max-1] table; each chunk query gathers its own diagonal
+        (C is small, so the gather is cheap here — offline uses the
+        rel_shift reshape instead). Returns (out [B, C, D], k, v)."""
+        c = self.cfg
+        b, ck, _ = x_chunk.shape
+        t_max = k_cache.shape[1]
+        q = self.q_proj(x_chunk)
+        k_t = self.k_proj(x_chunk)
+        v_t = self.v_proj(x_chunk)
+        k_cache = jax.lax.dynamic_update_slice_in_dim(k_cache, k_t, pos,
+                                                      axis=1)
+        v_cache = jax.lax.dynamic_update_slice_in_dim(v_cache, v_t, pos,
+                                                      axis=1)
+        table = jnp.asarray(rel_sinusoid_table(t_max, c.d_model)).astype(
+            c.dtype)                                      # [2*t_max-1, D]
+        p = self.pos_proj(table)                          # [2*t_max-1, H, dh]
+        u_bias = self.u_bias.astype(c.dtype)
+        v_bias = self.v_bias.astype(c.dtype)
+        content = jnp.einsum("bqhd,bkhd->bhqk", q + u_bias, k_cache)
+        pos_full = jnp.einsum("bqhd,nhd->bhqn", q + v_bias, p)
+        # table row for distance d is (t_max-1) - d; query i at global
+        # gi = pos + i, key j -> d = gi - j
+        gi = pos + jnp.arange(ck)                          # [C]
+        idx = (t_max - 1) - (gi[:, None] - jnp.arange(t_max)[None, :])
+        idx = jnp.clip(idx, 0, 2 * t_max - 2)              # [C, t_max]
+        pos_score = jnp.take_along_axis(
+            pos_full, idx[None, None], axis=3)             # [B, H, C, t_max]
+        out = self._finish(content, pos_score, v_cache, bias)
+        return out, k_cache, v_cache
 
 
 class ConvModule(nn.Module):
@@ -110,27 +160,49 @@ class ConvModule(nn.Module):
     """
     cfg: ModelConfig
 
-    @nn.compact
+    def setup(self):
+        c = self.cfg
+        self.pw1 = nn.Dense(2 * c.d_model, dtype=c.dtype,
+                            param_dtype=c.param_dtype)
+        self.depthwise = nn.Conv(
+            c.d_model, kernel_size=(c.conv_kernel,), padding="VALID",
+            feature_group_count=c.d_model, dtype=c.dtype,
+            param_dtype=c.param_dtype)
+        self.norm = nn.LayerNorm(dtype=c.dtype)
+        self.pw2 = nn.Dense(c.d_model, dtype=c.dtype,
+                            param_dtype=c.param_dtype)
+        self.drop = nn.Dropout(c.dropout)
+
+    def _glu(self, x):
+        a, b = jnp.split(self.pw1(x), 2, axis=-1)
+        return a * jax.nn.sigmoid(b)
+
+    def _tail(self, h, deterministic):
+        h = nn.swish(self.norm(h))
+        h = self.pw2(h)
+        return self.drop(h, deterministic=deterministic)
+
     def __call__(self, x, valid, deterministic: bool = True):
         c = self.cfg
         x = jnp.where(valid[..., None], x, 0.0)
-        h = nn.Dense(2 * c.d_model, dtype=c.dtype,
-                     param_dtype=c.param_dtype, name="pw1")(x)
-        a, b = jnp.split(h, 2, axis=-1)
-        h = a * jax.nn.sigmoid(b)                         # GLU
-        h = jnp.where(valid[..., None], h, 0.0)
+        h = jnp.where(valid[..., None], self._glu(x), 0.0)
         kern = c.conv_kernel
         causal = c.enc_chunk_size > 0
-        pad = ((kern - 1, 0),) if causal else \
-            (((kern - 1) // 2, kern // 2),)
-        h = nn.Conv(c.d_model, kernel_size=(kern,), padding=pad,
-                    feature_group_count=c.d_model, dtype=c.dtype,
-                    param_dtype=c.param_dtype, name="depthwise")(h)
-        h = nn.LayerNorm(dtype=c.dtype, name="norm")(h)
-        h = nn.swish(h)
-        h = nn.Dense(c.d_model, dtype=c.dtype,
-                     param_dtype=c.param_dtype, name="pw2")(h)
-        return nn.Dropout(c.dropout)(h, deterministic=deterministic)
+        pad = (kern - 1, 0) if causal else ((kern - 1) // 2, kern // 2)
+        h = jnp.pad(h, ((0, 0), pad, (0, 0)))
+        h = self.depthwise(h)
+        return self._tail(h, deterministic)
+
+    def step(self, x_chunk, conv_cache):
+        """Streaming step (causal conv): x_chunk [B, C, D];
+        conv_cache [B, kernel-1, D] holds the previous post-GLU frames
+        (zeros at stream start == the offline left zero-padding).
+        Returns (out [B, C, D], new conv_cache)."""
+        h = self._glu(x_chunk)
+        ext = jnp.concatenate([conv_cache, h], axis=1)   # [B, K-1+C, D]
+        out = self.depthwise(ext)                         # VALID -> [B, C, D]
+        new_cache = ext[:, -(self.cfg.conv_kernel - 1):]
+        return self._tail(out, True), new_cache
 
 
 class ConformerLayer(nn.Module):
@@ -164,3 +236,15 @@ class ConformerLayer(nn.Module):
         x = x + 0.5 * self.ffn2(self.norm_ffn2(x),
                                 deterministic=deterministic)
         return self.norm_out(x)
+
+    def step(self, x_chunk, pos, k_cache, v_cache, conv_cache, bias):
+        """Streaming chunk step (causal conv + cached rel-pos attention);
+        mirrors __call__ exactly for valid frames. x_chunk [B, C, D]."""
+        x = x_chunk + 0.5 * self.ffn1(self.norm_ffn1(x_chunk))
+        h, k_cache, v_cache = self.slf_attn.step(
+            self.norm_attn(x), pos, k_cache, v_cache, bias)
+        x = x + h
+        h, conv_cache = self.conv.step(self.norm_conv(x), conv_cache)
+        x = x + h
+        x = x + 0.5 * self.ffn2(self.norm_ffn2(x))
+        return self.norm_out(x), k_cache, v_cache, conv_cache

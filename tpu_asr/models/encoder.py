@@ -131,11 +131,19 @@ class Encoder(nn.Module):
     # ---- incremental (KV-cached) chunk encoding for streaming ----
 
     def init_cache(self, batch: int, t_max: int):
-        """Per-layer self-attention K/V caches over t_max encoder frames."""
+        """Per-layer self-attention K/V caches over t_max encoder frames
+        (+ a depthwise-conv left-context cache for conformer layers —
+        zeros, matching the offline causal conv's left zero-padding)."""
         c = self.cfg
         zeros = jnp.zeros((batch, t_max, c.num_heads, c.d_head), c.dtype)
-        return {f"layer_{i}": {"k": zeros, "v": zeros}
-                for i in range(c.num_enc_layers)}
+        caches = {f"layer_{i}": {"k": zeros, "v": zeros}
+                  for i in range(c.num_enc_layers)}
+        if c.encoder_type == "conformer":
+            conv0 = jnp.zeros((batch, c.conv_kernel - 1, c.d_model),
+                              c.dtype)
+            for entry in caches.values():
+                entry["conv"] = conv0
+        return caches
 
     def encode_chunk(self, feat_window, chunk_idx, caches,
                      valid_upto=None):
@@ -152,11 +160,6 @@ class Encoder(nn.Module):
         """
         c = self.cfg
         assert c.input_layer == "conv2d", "chunked encoding needs conv2d"
-        assert c.encoder_type == "transformer", \
-            "incremental chunked encoding supports the transformer " \
-            "encoder; conformer models decode chunk-masked offline " \
-            "(causal conv keeps per-chunk finality) but have no KV-cached " \
-            "incremental path yet"
         chunk = c.enc_chunk_size
         assert chunk > 0, "chunked encoding needs enc_chunk_size > 0"
         assert feat_window.shape[1] == 4 * chunk + 3, feat_window.shape
@@ -166,7 +169,9 @@ class Encoder(nn.Module):
                                   feat_window.shape[1], jnp.int32))
         # [B, C, d_model]; global positions [chunk_idx*C, (chunk_idx+1)*C)
         pos = chunk_idx * chunk
-        x = self.pe(x, offset=pos)
+        conformer = c.encoder_type == "conformer"
+        if not conformer:
+            x = self.pe(x, offset=pos)
         idx = jnp.arange(t_max)
         allowed = idx < pos + chunk
         if valid_upto is not None:
@@ -181,7 +186,13 @@ class Encoder(nn.Module):
         new_caches = {}
         for i, layer in enumerate(self.layers):
             key = f"layer_{i}"
-            x, k, v = layer.step(x, pos, caches[key]["k"],
-                                 caches[key]["v"], bias)
-            new_caches[key] = {"k": k, "v": v}
+            if conformer:
+                x, k, v, conv = layer.step(
+                    x, pos, caches[key]["k"], caches[key]["v"],
+                    caches[key]["conv"], bias)
+                new_caches[key] = {"k": k, "v": v, "conv": conv}
+            else:
+                x, k, v = layer.step(x, pos, caches[key]["k"],
+                                     caches[key]["v"], bias)
+                new_caches[key] = {"k": k, "v": v}
         return x, new_caches
