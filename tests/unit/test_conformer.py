@@ -198,3 +198,36 @@ def test_conformer_streaming_ctc_equals_offline():
     # raw streaming token list emits it freely on this random model —
     # compare modulo that filtering.
     assert [x for x in hyp if x != cfg.vocab_size - 1] == ref
+
+
+def test_conformer_transducer_streaming_equals_offline():
+    """The full streaming production stack: chunked CONFORMER encoder +
+    transducer greedy, streamed == offline exactly."""
+    from tpu_asr.decode.streaming import StreamingTransducerRecognizer
+    from tpu_asr.decode.transducer_decode import transducer_greedy_decode
+    from tpu_asr.models import TransducerModel
+    rng = np.random.default_rng(7)
+    cfg = conf_cfg(model_type="transducer", num_pred_layers=1, d_joint=16,
+                   enc_chunk_size=4, ctc_weight=0.0)
+    model = TransducerModel(cfg)
+    feats0 = jnp.zeros((1, 60, 80), jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), feats0,
+                        jnp.full((1,), 60, jnp.int32),
+                        jnp.ones((1, 4), jnp.int32),
+                        jnp.full((1,), 4, jnp.int32))
+    t = 130
+    feats = (rng.standard_normal((t, 80)) * 3).astype(np.float32)
+    ref_toks, ref_lens = transducer_greedy_decode(
+        model, params, jnp.asarray(feats[None]),
+        jnp.asarray([t], np.int32), max_tokens=24)
+    ref = [int(x) for x in np.asarray(ref_toks)[0, : int(ref_lens[0])]]
+    rec = StreamingTransducerRecognizer(cfg, params, max_frames=256,
+                                        max_tokens=24)
+    pos = 0
+    for sz in (13, 50, 3, 90):
+        take = min(sz, t - pos)
+        if take == 0:
+            break
+        rec.push(feats[pos: pos + take])
+        pos += take
+    assert rec.finish() == ref

@@ -138,6 +138,16 @@ PRESETS: dict[str, TrainConfig] = {
                                   d_joint=512),
         decode_mode="transducer_greedy",
         beam=BeamConfig(beam=1, max_len=100)),
+    # conformer-transducer: the standard streaming production stack
+    # (chunked conformer encoder + RNN-T), cf. Transformer-Transducer /
+    # conformer-transducer lineage
+    "conformer_transducer": TrainConfig(
+        model=dataclasses.replace(_BASE, model_type="transducer",
+                                  ctc_weight=0.3, num_pred_layers=2,
+                                  d_joint=512, encoder_type="conformer",
+                                  enc_chunk_size=16),
+        decode_mode="transducer_greedy",
+        beam=BeamConfig(beam=1, max_len=100)),
     # streaming transducer: chunk-masked encoder + frame-synchronous
     # decode = end-to-end streaming with label-history modeling
     "transducer_streaming": TrainConfig(
