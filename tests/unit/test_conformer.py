@@ -8,6 +8,7 @@ import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from tpu_asr.models import ModelConfig, Transformer, build_model
 from tpu_asr.models.conformer import rel_shift, rel_sinusoid_table
@@ -85,6 +86,7 @@ def test_chunked_conformer_is_causal_per_chunk():
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.slow
 def test_conformer_under_hybrid_and_transducer():
     rng = np.random.default_rng(3)
     feats = rng.standard_normal((2, 50, 80)).astype(np.float32)

@@ -41,6 +41,7 @@ def init_model(cfg, batch):
     return model, params
 
 
+@pytest.mark.slow
 def test_forward_losses_and_grads_finite():
     rng = np.random.default_rng(0)
     batch = make_batch(rng)
@@ -275,6 +276,7 @@ def test_recognizer_transducer_beam_mode():
     assert all(h[0]["score"] >= h[1]["score"] for h in hyps)
 
 
+@pytest.mark.slow
 def test_transducer_data_parallel_mesh_step():
     """The transducer train step runs SPMD data-parallel unchanged (the
     step is model-agnostic; this pins the new loss under GSPMD)."""
@@ -305,6 +307,7 @@ def test_transducer_data_parallel_mesh_step():
     assert jax.tree.leaves(state.params)[0].sharding.is_fully_replicated
 
 
+@pytest.mark.slow
 def test_beam_lm_fusion_matches_host_oracle():
     """Fused ALSD beam-1 == a host loop that scores label extensions with
     acoustic + lm_weight * teacher-forced LM log-probs (independent oracle
