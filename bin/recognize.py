@@ -123,6 +123,10 @@ def main():
     utts = load_manifest(args.manifest)
     wav_mode = bool(utts and utts[0].wav)
     frontend = FrontendConfig()
+    if args.ckpt:
+        fc = Checkpointer(args.ckpt).load_frontend()
+        if fc is not None:
+            frontend = fc    # train-time feature policy (CMVN mode/stats)
     scale = frontend.frame_shift if wav_mode else 1
     mesh = None
     if args.dp > 1:

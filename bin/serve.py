@@ -126,7 +126,8 @@ def main():
         lm_params = {"params": lm_state.params}
 
     rec = Recognizer(
-        cfg=cfg, params=params, mode=mode, frontend=FrontendConfig(),
+        cfg=cfg, params=params, mode=mode,
+        frontend=ck.load_frontend() or FrontendConfig(),
         beam=BeamConfig(beam=args.beam, max_len=args.max_len,
                         nbest=args.beam,   # requests slice their own nbest
                         ctc_weight=args.ctc_weight

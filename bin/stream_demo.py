@@ -106,7 +106,11 @@ def main():
     state, _ = ck.restore(state, step=step)
     params = {"params": state.params}
 
-    fcfg = FrontendConfig()
+    fcfg = ck.load_frontend() or FrontendConfig()
+    if fcfg.cmvn_mode == "utterance" and cfg.enc_chunk_size > 0:
+        print("note: per-utterance CMVN is non-causal; train with "
+              "--cmvn global (bin/compute_cmvn.py) for true streaming",
+              file=sys.stderr)
     total_err, total_ref, lags = 0, 0, []
     t_wall, n_decoded = 0.0, 0
     for utt in utts:

@@ -64,6 +64,13 @@ def parse_args():
     p.add_argument("--specaug-warp", type=int, default=-1,
                    help="SpecAugment time-warp window W (0 = masking only, "
                         "the reference behavior; -1 = preset default)")
+    p.add_argument("--cmvn", default="",
+                   choices=["", "utterance", "global", "none"],
+                   help="feature normalization: per-utterance (default), "
+                        "global train-set stats (--cmvn-stats, the causal "
+                        "choice for streaming), or none")
+    p.add_argument("--cmvn-stats", default="",
+                   help=".npz from bin/compute_cmvn.py (with --cmvn global)")
     p.add_argument("--prng-impl", default="rbg",
                    help="PRNG for dropout/specaug; rbg is ~1.5x faster "
                         "train steps on TPU than threefry")
@@ -121,6 +128,13 @@ def main():
     if args.specaug_warp >= 0 and tc.specaug is not None:
         tc = dataclasses.replace(tc, specaug=dataclasses.replace(
             tc.specaug, time_warp_window=args.specaug_warp))
+    if args.cmvn:
+        assert args.cmvn != "global" or args.cmvn_stats, \
+            "--cmvn global needs --cmvn-stats"
+        tc = dataclasses.replace(tc, frontend=dataclasses.replace(
+            tc.frontend, cmvn_mode=args.cmvn,
+            cmvn_stats_path=os.path.abspath(args.cmvn_stats)
+            if args.cmvn_stats else ""))
 
     if args.synthetic:
         from tpu_asr.data.synthetic import make_synthetic_dataset
@@ -182,6 +196,7 @@ def main():
 
     ck = Checkpointer(args.save_folder)
     ck.save_config(mc)
+    ck.save_frontend(tc.frontend)
     start_epoch = 0
     if args.continue_from:
         prev = Checkpointer(args.continue_from)

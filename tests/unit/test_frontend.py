@@ -135,3 +135,50 @@ def test_time_warp_ramp_monotonic(rng):
     lengths = jnp.asarray([80, 80])
     out = np.asarray(_time_warp(jax.random.PRNGKey(11), ramp, lengths, 8))
     assert (np.diff(out[:, :, 0], axis=1) >= -1e-4).all()
+
+
+def test_global_cmvn_mode(tmp_path):
+    """cmvn_mode=global normalizes with precomputed stats (Kaldi
+    apply-cmvn semantics); sidecar round-trips through Checkpointer."""
+    import dataclasses
+
+    from tpu_asr.frontend import (FrontendConfig, load_cmvn_stats,
+                                  wav_to_features)
+    rng = np.random.default_rng(0)
+    mean = rng.standard_normal(80).astype(np.float32)
+    istd = (0.5 + rng.random(80)).astype(np.float32)
+    stats = tmp_path / "cmvn.npz"
+    np.savez(stats, mean=mean, istd=istd, frames=np.int64(1000))
+
+    wav = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    base_cfg = FrontendConfig()
+    raw, fl = wav_to_features(jnp.asarray(wav[None]),
+                              jnp.asarray([len(wav)]), base_cfg,
+                              apply_cmvn=False)
+    gcfg = dataclasses.replace(base_cfg, cmvn_mode="global",
+                               cmvn_stats_path=str(stats))
+    got, _ = wav_to_features(jnp.asarray(wav[None]),
+                             jnp.asarray([len(wav)]), gcfg)
+    n = int(fl[0])
+    want = (np.asarray(raw)[0, :n] - mean) * istd
+    np.testing.assert_allclose(np.asarray(got)[0, :n], want,
+                               rtol=1e-5, atol=1e-5)
+    # zero-padding preserved past the valid frames
+    assert np.all(np.asarray(got)[0, n:] == 0.0)
+    m2, i2 = load_cmvn_stats(str(stats))
+    np.testing.assert_array_equal(m2, mean)
+    np.testing.assert_array_equal(i2, istd)
+
+    # cmvn_mode=none leaves features raw
+    ncfg = dataclasses.replace(base_cfg, cmvn_mode="none")
+    raw2, _ = wav_to_features(jnp.asarray(wav[None]),
+                              jnp.asarray([len(wav)]), ncfg)
+    np.testing.assert_allclose(np.asarray(raw2)[0, :n],
+                               np.asarray(raw)[0, :n], rtol=1e-6)
+
+    # frontend sidecar round-trip
+    from tpu_asr.train.checkpoints import Checkpointer
+    ck = Checkpointer(str(tmp_path / "exp"))
+    ck.save_frontend(gcfg)
+    back = ck.load_frontend()
+    assert back == gcfg

@@ -43,6 +43,13 @@ class FrontendConfig:
     log_floor: float = 1e-10
     remove_dc: bool = True
     dtype: jnp.dtype = jnp.float32
+    # CMVN policy (reference: compute-cmvn-stats + apply-cmvn over the
+    # TRAIN set's global stats; per-utterance online normalization is this
+    # repo's default). "global" loads mean/istd from cmvn_stats_path (an
+    # .npz written by bin/compute_cmvn.py) — the causal choice for
+    # streaming, where per-utterance stats would peek at future frames.
+    cmvn_mode: str = "utterance"  # utterance | global | none
+    cmvn_stats_path: str = ""
 
     @property
     def frame_length(self) -> int:
@@ -198,6 +205,25 @@ def cmvn(
     return out
 
 
+@functools.lru_cache(maxsize=8)
+def load_cmvn_stats(path: str) -> tuple[np.ndarray, np.ndarray]:
+    """(mean [D], istd [D]) from an .npz written by bin/compute_cmvn.py.
+
+    Cached as NUMPY on purpose: a jnp constant created inside a jit trace
+    would leak a tracer through the cache (frontend._frontend_constants
+    bug class, fixed r3)."""
+    with np.load(path) as z:
+        return (np.asarray(z["mean"], np.float32),
+                np.asarray(z["istd"], np.float32))
+
+
+def apply_global_cmvn(feats: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
+    """Normalize with precomputed train-set stats (Kaldi apply-cmvn)."""
+    assert cfg.cmvn_stats_path, "cmvn_mode=global needs cmvn_stats_path"
+    mean, istd = load_cmvn_stats(cfg.cmvn_stats_path)
+    return (feats - jnp.asarray(mean)) * jnp.asarray(istd)
+
+
 def build_lfr_features(feats: jnp.ndarray, m: int = 4, n: int = 3) -> jnp.ndarray:
     """Low frame rate: stack m consecutive frames, subsample by n.
 
@@ -232,8 +258,12 @@ def wav_to_features(
     feats = log_mel_spectrogram(wav, cfg)
     num = 1 + jnp.maximum(wav_lengths - cfg.frame_length, 0) // cfg.frame_shift
     frame_lengths = jnp.where(wav_lengths < cfg.frame_length, 0, num)
-    if apply_cmvn:
+    if apply_cmvn and cfg.cmvn_mode == "utterance":
         feats = cmvn(feats, frame_lengths)
+    elif apply_cmvn and cfg.cmvn_mode == "global":
+        feats = apply_global_cmvn(feats, cfg)
+    elif apply_cmvn and cfg.cmvn_mode != "none":
+        raise ValueError(f"unknown cmvn_mode {cfg.cmvn_mode!r}")
     t = feats.shape[-2]
     mask = (jnp.arange(t)[None, :] < frame_lengths[:, None])[..., None]
     feats = jnp.where(mask, feats, 0.0)

@@ -67,6 +67,29 @@ class Checkpointer:
         with open(os.path.join(self.directory, "model_config.json")) as f:
             return _config_from_json(json.load(f))
 
+    def save_frontend(self, fcfg) -> None:
+        """Frontend sidecar (frontend.json): feature extraction must match
+        between train and decode — notably the CMVN policy (global stats
+        path) — so decode CLIs pick it up from the checkpoint dir."""
+        d = dataclasses.asdict(fcfg)
+        d["dtype"] = np.dtype(fcfg.dtype).name
+        with open(os.path.join(self.directory, "frontend.json"), "w") as f:
+            json.dump(d, f, indent=2)
+
+    def load_frontend(self):
+        """FrontendConfig from the sidecar; None if absent (old
+        checkpoints — callers fall back to defaults)."""
+        import jax.numpy as jnp
+
+        from tpu_asr.frontend import FrontendConfig
+        path = os.path.join(self.directory, "frontend.json")
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            d = json.load(f)
+        d["dtype"] = jnp.dtype(d["dtype"])
+        return FrontendConfig(**d)
+
     def save(self, state, epoch: int = 0, cv_loss: float = 0.0,
              is_best: bool = False) -> None:
         step = int(state.step)
