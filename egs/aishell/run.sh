@@ -17,7 +17,7 @@ set -euo pipefail
 
 stage=0
 data=""
-exp=exp/aishell_hybrid
+exp=""   # default exp/aishell_<preset> (set after arg parsing)
 preset=aishell
 nj_decode_beam=10
 synthetic=0
@@ -38,6 +38,7 @@ while [[ $# -gt 0 ]]; do
   esac
 done
 
+[[ -n "$exp" ]] || exp="exp/aishell_${preset}"
 [[ -n "$data" ]] || { echo "--data /path/to/aishell required"; exit 1; }
 cd "$repo_root"
 mkdir -p "$exp" data/aishell
@@ -76,8 +77,10 @@ fi
 
 train_extra=()
 recog_extra=()
+cmvn_extra=()
 [[ -n "$platform" ]] && train_extra+=(--platform "$platform") \
-  && recog_extra+=(--platform "$platform")
+  && recog_extra+=(--platform "$platform") \
+  && cmvn_extra+=(--platform "$platform")
 [[ $epochs -gt 0 ]] && train_extra+=(--epochs "$epochs")
 
 if [[ $stage -le 0 ]]; then
@@ -126,11 +129,18 @@ if [[ $stage -le 1 ]]; then
 fi
 
 if [[ $stage -le 2 ]]; then
-  echo "=== stage 2: train ($preset preset) ==="
+  echo "=== stage 2: global CMVN stats + train ($preset preset) ==="
+  # reference recipe's compute-cmvn-stats/apply-cmvn: normalize every
+  # split with TRAIN-set statistics (also the causal choice for the
+  # streaming presets; decode picks the policy up from the checkpoint's
+  # frontend sidecar)
+  python bin/compute_cmvn.py --manifest data/aishell/train.jsonl \
+    --out "$exp/cmvn.npz" ${cmvn_extra[@]+"${cmvn_extra[@]}"}
   python bin/train.py --preset "$preset" \
     --train-manifest data/aishell/train.jsonl \
     --cv-manifest data/aishell/dev.jsonl \
     --dict data/aishell/dict.txt \
+    --cmvn global --cmvn-stats "$exp/cmvn.npz" \
     --save-folder "$exp" ${train_extra[@]+"${train_extra[@]}"}
 fi
 
