@@ -365,3 +365,32 @@ def test_beam_lm_fusion_matches_host_oracle():
                                                          : int(out["lengths"][i, 0])]]
         assert got == toks, (i, got, toks)
         assert float(out["scores"][i, 0]) == pytest.approx(score, abs=1e-3)
+
+
+@pytest.mark.slow
+def test_mesh_transducer_decode_equals_single_device():
+    """Data-parallel transducer decode (greedy while_loop + ALSD beam with
+    per-row scatters and one-hot reorders) under GSPMD returns identical
+    hypotheses to single-device."""
+    from tpu_asr.decode.beam import BeamConfig
+    from tpu_asr.decode.recognizer import Recognizer
+    from tpu_asr.parallel import make_mesh
+    rng = np.random.default_rng(11)
+    batch_arrays = make_batch(rng, b=3)
+    cfg = tiny_cfg()
+    model, params = init_model(cfg, batch_arrays)
+    feats = np.concatenate([batch_arrays[0], batch_arrays[0][:1]], 0)
+    flens = np.concatenate([batch_arrays[1], batch_arrays[1][:1]])
+    batch = {"feats": feats, "feat_lengths": flens}
+    mesh = make_mesh(n_data=4, n_model=1, devices=jax.devices()[:4])
+    for mode, beam in [("transducer_greedy", BeamConfig(beam=1, max_len=12)),
+                       ("transducer_beam",
+                        BeamConfig(beam=3, max_len=12, nbest=2))]:
+        ref = Recognizer(cfg=cfg, params=params, mode=mode,
+                         beam=beam).decode_batch_nbest(batch)
+        got = Recognizer(cfg=cfg, params=params, mode=mode, beam=beam,
+                         mesh=mesh).decode_batch_nbest(batch)
+        assert len(got) == len(ref) == 4
+        for r, g in zip(ref, got):
+            for hr, hg in zip(r, g):
+                assert hg["yseq"] == hr["yseq"], mode
