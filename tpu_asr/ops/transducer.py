@@ -34,7 +34,6 @@ tests/parity).
 
 from __future__ import annotations
 
-from functools import partial
 
 import jax
 import jax.numpy as jnp
