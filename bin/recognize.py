@@ -38,7 +38,8 @@ def parse_args():
     p.add_argument("--mode", default="",
                    choices=["", "greedy_ctc", "ctc_beam", "beam", "joint",
                             "attn_rescore", "cif_greedy", "cif_beam",
-                            "transducer_greedy", "transducer_beam"])
+                            "transducer_greedy", "transducer_beam",
+                            "transducer_rescore"])
     p.add_argument("--beam", type=int, default=5)
     p.add_argument("--nbest", type=int, default=1)
     p.add_argument("--max-len", type=int, default=100)

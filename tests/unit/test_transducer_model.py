@@ -394,3 +394,53 @@ def test_mesh_transducer_decode_equals_single_device():
         for r, g in zip(ref, got):
             for hr, hg in zip(r, g):
                 assert hg["yseq"] == hr["yseq"], mode
+
+
+def test_transducer_rescore_scores_decompose():
+    """Rescore mode: final = -NLL_rnnt + ctc_weight * ctc_score, with the
+    NLL recomputed independently via ops.transducer.transducer_loss; the
+    result is sorted best-first."""
+    from tpu_asr.decode.beam import BeamConfig
+    from tpu_asr.decode.recognizer import Recognizer
+    from tpu_asr.ops.transducer import transducer_loss
+    rng = np.random.default_rng(12)
+    cfg = tiny_cfg(ctc_weight=0.3)
+    batch = make_batch(rng)
+    model, params = init_model(cfg, batch)
+    feats, flens = batch[0], batch[1]
+    rec = Recognizer(cfg=cfg, params=params, mode="transducer_rescore",
+                     beam=BeamConfig(beam=4, max_len=12, nbest=2,
+                                     ctc_weight=0.5))
+    out = rec._transducer_rescore(params,
+                                  {"feats": jnp.asarray(feats),
+                                   "feat_lengths": jnp.asarray(flens)})
+    scores = np.asarray(out["scores"])
+    assert np.all(np.diff(scores, axis=1) <= 1e-6)
+    np.testing.assert_allclose(
+        scores,
+        np.asarray(out["rnnt_scores"])
+        + 0.5 * np.asarray(out["ctc_scores"]), rtol=1e-5, atol=1e-5)
+
+    # recompute the 1-best rnnt score with a direct loss call
+    enc_out, el = model.apply(params, jnp.asarray(feats),
+                              jnp.asarray(flens), method="encode")
+    f = model.apply(params, enc_out, method="enc_features")
+    i = 0
+    li = int(out["lengths"][i, 0])
+    hyp = np.asarray(out["tokens"])[i, 0, :12]
+    safe = np.where(hyp >= 0, hyp, 0).astype(np.int32)
+    ys_in = jnp.concatenate(
+        [jnp.full((1, 1), cfg.vocab_size - 2, jnp.int32),
+         jnp.asarray(safe[None])], axis=1)
+    g = model.apply(params, ys_in, method="predict_sequence")
+    p = params["params"]
+    nll = transducer_loss(
+        f[i: i + 1], g, jnp.asarray(p["joint_out_kernel"]),
+        jnp.asarray(p["joint_out_bias"]), jnp.asarray(safe[None]),
+        el[i: i + 1], jnp.asarray([li], np.int32), reduction="none")
+    assert float(out["rnnt_scores"][i, 0]) == pytest.approx(
+        -float(nll[0]), abs=1e-3)
+
+    # the public n-best API plumbs through
+    hyps = rec.decode_batch_nbest({"feats": feats, "feat_lengths": flens})
+    assert len(hyps) == 3 and all(len(h) == 2 for h in hyps)

@@ -29,7 +29,7 @@ class Recognizer:
     cfg: ModelConfig
     params: dict
     beam: BeamConfig = BeamConfig()
-    mode: str = "beam"  # greedy_ctc | ctc_beam | beam | joint | attn_rescore | cif_greedy | cif_beam | transducer_greedy | transducer_beam
+    mode: str = "beam"  # greedy_ctc | ctc_beam | beam | joint | attn_rescore | cif_greedy | cif_beam | transducer_greedy | transducer_beam | transducer_rescore
     frontend: FrontendConfig = FrontendConfig()
     # CIF fire-time alpha handling: True = self-scale to the rounded fire
     # count (train/inference boundary-geometry consistency); False = the
@@ -52,7 +52,8 @@ class Recognizer:
     def __post_init__(self):
         assert self.mode in ("greedy_ctc", "ctc_beam", "beam", "joint",
                              "attn_rescore", "cif_greedy", "cif_beam",
-                             "transducer_greedy", "transducer_beam")
+                             "transducer_greedy", "transducer_beam",
+                             "transducer_rescore")
         mt = self.cfg.model_type
         if self.mode in ("greedy_ctc", "ctc_beam", "joint"):
             assert mt in ("ctc", "hybrid") or (
@@ -65,9 +66,13 @@ class Recognizer:
         if self.mode in ("beam", "joint"):
             assert mt in ("transformer", "hybrid"), \
                 f"mode {self.mode} needs an attention decoder (model_type={mt})"
-        if self.mode in ("transducer_greedy", "transducer_beam"):
+        if self.mode in ("transducer_greedy", "transducer_beam",
+                         "transducer_rescore"):
             assert mt == "transducer", \
                 f"mode {self.mode} needs model_type=transducer"
+        if self.mode == "transducer_rescore":
+            assert self.cfg.ctc_weight > 0.0, \
+                "transducer_rescore needs the aux CTC head (ctc_weight>0)"
         if self.mode in ("cif_greedy", "cif_beam"):
             assert mt == "cif", f"mode {self.mode} needs model_type=cif"
         from tpu_asr.models import build_model
@@ -135,6 +140,16 @@ class Recognizer:
             length_penalty=self.beam.length_penalty,
             lm=self.lm, lm_params=self.lm_params,
             lm_weight=self.beam.lm_weight)
+
+    @partial(jax.jit, static_argnums=0)
+    def _transducer_rescore(self, params, batch):
+        """Two-pass: aux-CTC prefix-beam n-best rescored by the exact
+        transducer marginal (no autoregressive loop)."""
+        from tpu_asr.decode.transducer_decode import transducer_rescore
+        feats, flens = self._features(batch)
+        return transducer_rescore(
+            self.model, params, feats, flens, beam=self.beam.beam,
+            max_len=self.beam.max_len, ctc_weight=self.beam.ctc_weight)
 
     @partial(jax.jit, static_argnums=0)
     def _ctc_beam(self, params, batch):
@@ -221,10 +236,11 @@ class Recognizer:
                     if int(t) >= 0 and int(t) != eos]
 
         if self.mode in ("beam", "joint", "ctc_beam", "attn_rescore",
-                         "transducer_beam"):
+                         "transducer_beam", "transducer_rescore"):
             fn = {"ctc_beam": self._ctc_beam,
                   "attn_rescore": self._attn_rescore,
-                  "transducer_beam": self._transducer_beam}.get(
+                  "transducer_beam": self._transducer_beam,
+                  "transducer_rescore": self._transducer_rescore}.get(
                       self.mode, self._beam)
             out = fn(self.params, arrays)
             toks = np.asarray(out["tokens"])           # [B, W, L]

@@ -336,3 +336,67 @@ def transducer_beam_search(model, params, feats, feat_lengths,
         "scores": jnp.take_along_axis(scores, order, axis=1),
         "lengths": jnp.take_along_axis(lengths, order, axis=1),
     }
+
+
+def transducer_rescore(model, params, feats, feat_lengths,
+                       beam: int = 10, max_len: int = 64,
+                       ctc_weight: float = 0.5, ctc_topk: int = 8):
+    """Two-pass transducer decode: CTC prefix-beam n-best (from the aux
+    CTC head) rescored by the EXACT transducer marginal log P(y|x).
+
+    The transducer analog of decode/rescore.py's attention rescoring, and
+    the most TPU-friendly transducer decode shape available: pass 2 has no
+    autoregressive loop at all — one teacher-forced predictor pass over
+    all B*W hypotheses, then the frame-fused lattice scan
+    (ops/transducer.py) evaluates each hypothesis' full marginal
+    (all alignments, not a single greedy path) in one compiled program.
+
+    final score = -NLL_rnnt + ctc_weight * logP_ctc (WeNet-style ranking,
+    matching attention_rescore's convention). Requires the aux CTC head
+    (cfg.ctc_weight > 0 at training time).
+
+    -> dict(tokens [B, W, L] (-1-padded), scores [B, W], lengths [B, W])
+    sorted best-first.
+    """
+    from tpu_asr.decode.ctc_beam import ctc_prefix_beam_search
+    from tpu_asr.ops.transducer import transducer_loss
+
+    neg_inf = -1e30
+    enc_out, enc_lengths = model.apply(params, feats, feat_lengths,
+                                       method="encode")
+    enc_lengths = jnp.maximum(
+        jnp.where(feat_lengths > 0, enc_lengths, 0), 0)
+    ctc_logits = model.apply(params, enc_out, method="ctc_logits")
+    b, t, _ = enc_out.shape
+    w = beam
+    l = min(max_len, ctc_logits.shape[1])
+    toks, lens, ctc_scores = ctc_prefix_beam_search(
+        ctc_logits, enc_lengths, beam=w, topk=ctc_topk, max_len=l)
+
+    n = b * w
+    toks_f = toks.reshape(n, l)
+    lens_f = lens.reshape(n)
+    safe = jnp.where(toks_f >= 0, toks_f, 0)
+    sos = model.cfg.vocab_size - 2
+    ys_in = jnp.concatenate(
+        [jnp.full((n, 1), sos, jnp.int32), safe], axis=1)     # [N, L+1]
+    g = model.apply(params, ys_in, method="predict_sequence")
+    f = model.apply(params, enc_out, method="enc_features")
+    f_tiled = jnp.repeat(f, w, axis=0)
+    el_tiled = jnp.repeat(enc_lengths, w, axis=0)
+    p = params["params"] if "params" in params else params
+    nll = transducer_loss(
+        f_tiled, g, p["joint_out_kernel"].astype(model.cfg.dtype),
+        p["joint_out_bias"].astype(jnp.float32), safe, el_tiled, lens_f,
+        blank=0, reduction="none")                            # [N]
+    rnnt_score = (-nll).reshape(b, w)
+    final = rnnt_score + ctc_weight * ctc_scores
+    final = jnp.where(ctc_scores <= neg_inf / 2, neg_inf, final)
+    order = jnp.argsort(-final, axis=1)
+    return {
+        "tokens": jnp.take_along_axis(toks, order[..., None], axis=1),
+        "scores": jnp.take_along_axis(final, order, axis=1),
+        "lengths": jnp.take_along_axis(lens, order, axis=1),
+        "rnnt_scores": jnp.take_along_axis(rnnt_score, order, axis=1),
+        "ctc_scores": jnp.take_along_axis(ctc_scores, order, axis=1),
+    }
