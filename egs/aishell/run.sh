@@ -147,7 +147,7 @@ fi
 # primary decode mode per model family (hybrid presets use joint
 # CTC/attention; transducer presets the ALSD beam; cif its own decode)
 case "$preset" in
-  transducer*) decode_mode=transducer_beam ;;
+  transducer*) decode_mode=transducer_rescore ;;
   cif*)        decode_mode=cif_greedy ;;
   ctc*|streaming) decode_mode=ctc_beam ;;
   attention*)  decode_mode=beam ;;

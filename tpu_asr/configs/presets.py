@@ -136,8 +136,10 @@ PRESETS: dict[str, TrainConfig] = {
         model=dataclasses.replace(_BASE, model_type="transducer",
                                   ctc_weight=0.3, num_pred_layers=2,
                                   d_joint=512),
-        decode_mode="transducer_greedy",
-        beam=BeamConfig(beam=1, max_len=100)),
+        # two-pass rescoring: measured best transducer decode (exact
+        # marginal ranking; overfit CER 0.0 vs greedy 0.17 / beam 0.25)
+        decode_mode="transducer_rescore",
+        beam=BeamConfig(beam=10, max_len=100, ctc_weight=0.5)),
     # conformer-transducer: the standard streaming production stack
     # (chunked conformer encoder + RNN-T), cf. Transformer-Transducer /
     # conformer-transducer lineage
