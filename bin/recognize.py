@@ -236,6 +236,10 @@ def main():
     with open(out_path, "w") as f:
         for uid, nb in results.items():
             rec_out = {"id": uid, "hyp_tokens": nb[0]["yseq"]}
+            if "times" in nb[0]:
+                # emission encoder-frame per token (x subsample stride
+                # x 10 ms for seconds) — greedy CTC / transducer modes
+                rec_out["times"] = nb[0]["times"]
             if len(nb) > 1:
                 rec_out["nbest"] = nb
             f.write(json.dumps(rec_out) + "\n")

@@ -336,3 +336,29 @@ def test_mesh_decode_equals_single_device():
             assert hg["yseq"] == hr["yseq"]
             np.testing.assert_allclose(hg["score"], hr["score"],
                                        rtol=1e-5, atol=1e-5)
+
+
+def test_greedy_ctc_emission_times():
+    """return_times: each token's timestamp is the FIRST frame of its
+    argmax run, matching a host reference collapse."""
+    from tpu_asr.ops.ctc import ctc_greedy_collapse
+    ids = jnp.asarray([[0, 3, 3, 0, 5, 0, 5, 5, 2],
+                       [7, 7, 0, 0, 7, 1, 0, 0, 0]], jnp.int32)
+    lengths = jnp.asarray([9, 6], jnp.int32)
+    toks, n, times = ctc_greedy_collapse(ids, lengths, return_times=True)
+    toks, n, times = (np.asarray(x) for x in (toks, n, times))
+
+    def host(row, t_len):
+        out, prev = [], -1
+        for j in range(t_len):
+            i = int(row[j])
+            if i != 0 and i != prev:
+                out.append((i, j))
+            prev = i
+        return out
+
+    for b in range(2):
+        want = host(np.asarray(ids)[b], int(lengths[b]))
+        got = [(int(toks[b, j]), int(times[b, j])) for j in range(n[b])]
+        assert got == want, (b, got, want)
+        assert np.all(times[b, n[b]:] == -1)

@@ -444,3 +444,26 @@ def test_transducer_rescore_scores_decompose():
     # the public n-best API plumbs through
     hyps = rec.decode_batch_nbest({"feats": feats, "feat_lengths": flens})
     assert len(hyps) == 3 and all(len(h) == 2 for h in hyps)
+
+
+def test_transducer_emission_times_streaming_equals_offline():
+    """Emission timestamps (encoder frame per token) are global across
+    streamed chunks and equal the offline decode's."""
+    from tpu_asr.decode.streaming import StreamingTransducerRecognizer
+    rng = np.random.default_rng(13)
+    cfg = tiny_cfg(enc_chunk_size=4)
+    batch = make_batch(rng)
+    model, params = init_model(cfg, batch)
+    t = 120
+    feats = (rng.standard_normal((t, 80)) * 3).astype(np.float32)
+    toks, lens, times = transducer_greedy_decode(
+        model, params, jnp.asarray(feats[None]), jnp.asarray([t], np.int32),
+        max_tokens=24, return_times=True)
+    n = int(lens[0])
+    off_times = [int(x) for x in np.asarray(times)[0, :n]]
+    assert off_times == sorted(off_times)          # monotonic
+    rec = StreamingTransducerRecognizer(cfg, params, max_frames=256,
+                                        max_tokens=24)
+    rec.push(feats[:50]); rec.push(feats[50:])
+    rec.finish()
+    assert rec.hypothesis_times == off_times

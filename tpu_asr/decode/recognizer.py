@@ -118,7 +118,7 @@ class Recognizer:
         enc_out, el = self.model.apply(params, feats, flens,
                                        method="encode")
         logits = self.model.apply(params, enc_out, method="ctc_logits")
-        return ctc_greedy_decode(logits, el)
+        return ctc_greedy_decode(logits, el, return_times=True)
 
     @partial(jax.jit, static_argnums=0)
     def _transducer(self, params, batch):
@@ -127,7 +127,8 @@ class Recognizer:
         from tpu_asr.decode.transducer_decode import transducer_greedy_decode
         feats, flens = self._features(batch)
         return transducer_greedy_decode(self.model, params, feats, flens,
-                                        max_tokens=self.beam.max_len)
+                                        max_tokens=self.beam.max_len,
+                                        return_times=True)
 
     @partial(jax.jit, static_argnums=0)
     def _transducer_beam(self, params, batch):
@@ -252,11 +253,22 @@ class Recognizer:
                      for w in range(nbest)]
                     for i in range(toks.shape[0])]
         if self.mode == "greedy_ctc":
-            toks, lens = self._greedy_ctc(self.params, arrays)
+            toks, lens, times = self._greedy_ctc(self.params, arrays)
         elif self.mode == "transducer_greedy":
-            toks, lens = self._transducer(self.params, arrays)
+            toks, lens, times = self._transducer(self.params, arrays)
         else:
             toks, lens = self._cif(self.params, arrays)
+            times = None
         toks, lens = np.asarray(toks), np.asarray(lens)
-        return [[{"yseq": clean(toks[i], lens[i]), "score": 0.0}]
-                for i in range(toks.shape[0])]
+        out = []
+        for i in range(toks.shape[0]):
+            hyp = {"yseq": clean(toks[i], lens[i]), "score": 0.0}
+            if times is not None:
+                # emission encoder-frame per kept token (same filtering
+                # as clean: drop pads and the reserved eos id)
+                row, tr = toks[i], np.asarray(times)[i]
+                hyp["times"] = [int(tr[j]) for j in range(int(lens[i]))
+                                if int(row[j]) >= 0
+                                and int(row[j]) != eos]
+            out.append([hyp])
+        return out

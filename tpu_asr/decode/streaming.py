@@ -79,6 +79,7 @@ class StreamingCTCRecognizer:
         self._emitted_enc = 0        # encoder frames already emitted
         self._prev_id = self.blank   # CTC collapse state across pushes
         self._tokens: list[int] = []
+        self._times: list[int] = []  # emission enc-frame per token
         self._finished = False
         if self.incremental and chunk > 0:
             t_max = self._enc_len(self.max_frames)
@@ -144,10 +145,12 @@ class StreamingCTCRecognizer:
             return []
         ids = self._new_ids(upto)
         out = []
-        for i in ids:
+        base = self._emitted_enc
+        for j, i in enumerate(ids):
             i = int(i)
             if i != self.blank and i != self._prev_id:
                 out.append(i)
+                self._times.append(base + j)
             self._prev_id = i
         self._emitted_enc = upto
         self._tokens.extend(out)
@@ -173,6 +176,11 @@ class StreamingCTCRecognizer:
     @property
     def hypothesis(self) -> list[int]:
         return list(self._tokens)
+
+    @property
+    def hypothesis_times(self) -> list[int]:
+        """Per-token emission encoder-frame indices."""
+        return list(self._times)
 
 
 @dataclasses.dataclass(eq=False)
@@ -599,7 +607,8 @@ class StreamingTransducerRecognizer:
                                        valid_upto, caches, method=enc)
         n_local = jnp.clip(valid_upto - chunk_idx * chunk, 0, chunk)
         tstate = greedy_advance(self.model, params, f_c, n_local[None],
-                                tstate, self.max_symbols_per_frame)
+                                tstate, self.max_symbols_per_frame,
+                                frame_offset=chunk_idx * chunk)
         return caches, tstate
 
     def _enc_len(self, n: int) -> int:
@@ -644,3 +653,10 @@ class StreamingTransducerRecognizer:
     def hypothesis(self) -> list[int]:
         toks = np.asarray(self._tstate["tokens"][0])
         return [int(x) for x in toks[: int(self._tstate["u"][0])]]
+
+    @property
+    def hypothesis_times(self) -> list[int]:
+        """Per-token emission encoder-frame indices (multiply by the conv
+        stride x 10 ms for seconds)."""
+        times = np.asarray(self._tstate["times"][0])
+        return [int(x) for x in times[: int(self._tstate["u"][0])]]

@@ -42,19 +42,22 @@ def greedy_init(model, params, batch: int, max_tokens: int):
     return dict(
         u=jnp.zeros((batch,), jnp.int32),
         tokens=jnp.full((batch, max_tokens), -1, jnp.int32),
+        times=jnp.full((batch, max_tokens), -1, jnp.int32),
         g=g0,
         cache=cache,
     )
 
 
 def greedy_advance(model, params, f, n_valid, state,
-                   max_symbols_per_frame: int = 4):
+                   max_symbols_per_frame: int = 4, frame_offset=0):
     """Consume frames f[:, :n_valid] (per row), extending the search state.
 
     f: [B, Tc, d_joint] encoder-side joint features; n_valid: [B] valid
     frame counts within f. Each call starts at local frame 0 — the caller
     slices f to the not-yet-consumed frames (a chunk, or the whole
-    utterance). Returns the advanced state.
+    utterance) and passes the chunk's global start as frame_offset so
+    emission timestamps (state["times"], encoder frame of each emitted
+    token) stay global. Returns the advanced state.
     """
     b, t_max, _ = f.shape
     max_tokens = state["tokens"].shape[1]
@@ -82,6 +85,8 @@ def greedy_advance(model, params, f, n_valid, state,
         cur = st["tokens"][rows, u_clip]
         tokens = st["tokens"].at[rows, u_clip].set(
             jnp.where(emit, k, cur))
+        times = st["times"].at[rows, u_clip].set(
+            jnp.where(emit, frame_offset + t, st["times"][rows, u_clip]))
         # Predictor advances only on emit rows; the step itself runs
         # batched (one program), non-emit rows keep g and cache.
         k_safe = jnp.where(emit, k, sos)
@@ -100,7 +105,7 @@ def greedy_advance(model, params, f, n_valid, state,
             u=jnp.where(emit, u + 1, u),
             emitted=jnp.where(emit, st["emitted"] + 1,
                               jnp.where(advance, 0, st["emitted"])),
-            tokens=tokens, g=g, cache=cache)
+            tokens=tokens, times=times, g=g, cache=cache)
 
     final = jax.lax.while_loop(cond, body, state)
     final.pop("t")
@@ -110,9 +115,11 @@ def greedy_advance(model, params, f, n_valid, state,
 
 def transducer_greedy_decode(model, params, feats, feat_lengths,
                              max_tokens: int = 200,
-                             max_symbols_per_frame: int = 4):
+                             max_symbols_per_frame: int = 4,
+                             return_times: bool = False):
     """Batched offline greedy decode: -> (tokens [B, max_tokens]
-    (-1 padded), lengths [B])."""
+    (-1 padded), lengths [B] [, emission frame indices with
+    return_times])."""
     enc_out, enc_lengths = model.apply(params, feats, feat_lengths,
                                        method="encode")
     f = model.apply(params, enc_out, method="enc_features")  # [B, T, dj]
@@ -121,6 +128,8 @@ def transducer_greedy_decode(model, params, feats, feat_lengths,
     state = greedy_init(model, params, f.shape[0], max_tokens)
     state = greedy_advance(model, params, f, n_valid, state,
                            max_symbols_per_frame)
+    if return_times:
+        return state["tokens"], state["u"], state["times"]
     return state["tokens"], state["u"]
 
 

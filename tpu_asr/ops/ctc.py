@@ -157,12 +157,17 @@ def ctc_greedy_collapse(
     lengths: jnp.ndarray,
     blank: int = 0,
     pad_id: int = -1,
-) -> tuple[jnp.ndarray, jnp.ndarray]:
+    return_times: bool = False,
+):
     """Greedy CTC decode collapse, vectorized (no host loop).
 
     ids: [B, T] argmax frame labels; lengths: [B] valid frames.
     Collapses repeats, removes blanks, left-packs the survivors. Returns
-    (tokens [B, T] padded with pad_id, token_lengths [B]).
+    (tokens [B, T] padded with pad_id, token_lengths [B]); with
+    return_times also the emission frame index of each token (the first
+    frame of its run, -1 padded) — token timestamps for
+    subtitling/alignment (frame -> seconds is the caller's subsampling
+    factor x frame shift).
 
     Reference behavior: CTC greedy decode = argmax -> collapse repeats ->
     drop blanks (reference: recognize path of the CTC model).
@@ -177,5 +182,9 @@ def ctc_greedy_collapse(
     order = jnp.argsort(pos, axis=1)
     packed = jnp.take_along_axis(ids, order, axis=1)
     n = jnp.sum(valid, axis=1)
-    packed = jnp.where(jnp.arange(t)[None, :] < n[:, None], packed, pad_id)
-    return packed, n
+    keep = jnp.arange(t)[None, :] < n[:, None]
+    packed = jnp.where(keep, packed, pad_id)
+    if not return_times:
+        return packed, n
+    times = jnp.where(keep, jnp.take_along_axis(pos, order, axis=1), -1)
+    return packed, n, times
