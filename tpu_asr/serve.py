@@ -257,12 +257,18 @@ class StreamSessions:
             new = rec.push(feats) if feats.shape[0] else []
             if final:
                 tokens = rec.finish()
+                resp = {"new_tokens": new, "tokens": tokens, "final": True}
+                if hasattr(rec, "hypothesis_times"):
+                    resp["times"] = rec.hypothesis_times
                 del self._sessions[session_id]
-                return {"new_tokens": new, "tokens": tokens, "final": True}
+                return resp
             cur = (list(rec._tokens) if hasattr(rec, "_tokens")
                    else rec.hypothesis if hasattr(rec, "hypothesis")
                    else None)
-            return {"new_tokens": new, "tokens": cur, "final": False}
+            resp = {"new_tokens": new, "tokens": cur, "final": False}
+            if hasattr(rec, "hypothesis_times"):
+                resp["times"] = rec.hypothesis_times
+            return resp
 
     @property
     def n_active(self) -> int:
