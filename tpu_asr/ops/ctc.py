@@ -16,6 +16,7 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 NEG_INF = -1e30
 
@@ -188,3 +189,91 @@ def ctc_greedy_collapse(
         return packed, n
     times = jnp.where(keep, jnp.take_along_axis(pos, order, axis=1), -1)
     return packed, n, times
+
+
+def ctc_viterbi_align(
+    logits: jnp.ndarray,
+    labels: jnp.ndarray,
+    logit_lengths: jnp.ndarray,
+    label_lengths: jnp.ndarray,
+    blank: int = 0,
+    log_input: bool = False,
+):
+    """CTC forced alignment: the Viterbi (best) path through the
+    interleaved blank/label lattice, as per-token frame spans.
+
+    -> (starts [B, U], ends [B, U]) — first/last frame assigned to each
+    label state on the best path (inclusive; -1 past label_lengths).
+    The max-product recursion mirrors ctc_forward_alphas' sum-product,
+    with int8 backpointers stacked by the scan; the backtrace is a small
+    host loop over [T, S] (production forced-alignment shape: one
+    utterance batch at a time is fine, but this is fully batched anyway).
+
+    Oracle-tested against brute-force best-alignment enumeration
+    (tests/unit/test_align.py).
+    """
+    b, t, v = logits.shape
+    u = labels.shape[1]
+    s = 2 * u + 1
+    z = _interleave_blanks(labels, blank)
+    z_shift2 = jnp.concatenate(
+        [jnp.full((b, 2), blank, dtype=z.dtype), z[:, :-2]], axis=1)
+    allow_skip = (z != blank) & (z != z_shift2)
+    allow_skip = allow_skip.at[:, :2].set(False)
+    valid_s = jnp.arange(s)[None, :] <= 2 * label_lengths[:, None]
+
+    emissions = lattice_emissions(logits, z, log_input)       # [B, T, S]
+
+    delta0 = jnp.full((b, s), NEG_INF)
+    delta0 = delta0.at[:, 0].set(emissions[:, 0, 0])
+    delta0 = delta0.at[:, 1].set(
+        jnp.where(label_lengths > 0, emissions[:, 0, 1], NEG_INF))
+
+    def step(delta, inputs):
+        emit, t_idx = inputs
+        d_stay = delta
+        d_prev = jnp.concatenate(
+            [jnp.full((b, 1), NEG_INF), delta[:, :-1]], axis=1)
+        d_skip = jnp.concatenate(
+            [jnp.full((b, 2), NEG_INF), delta[:, :-2]], axis=1)
+        d_skip = jnp.where(allow_skip, d_skip, NEG_INF)
+        stacked = jnp.stack([d_stay, d_prev, d_skip], axis=0)  # [3, B, S]
+        best = jnp.argmax(stacked, axis=0).astype(jnp.int8)
+        new = jnp.max(stacked, axis=0) + emit
+        new = jnp.where(valid_s, new, NEG_INF)
+        active = (t_idx < logit_lengths)[:, None]
+        return jnp.where(active, new, delta), \
+            jnp.where(active, best, jnp.int8(0))
+
+    ts = jnp.arange(1, t)
+    delta_final, bps = jax.lax.scan(
+        step, delta0, (jnp.moveaxis(emissions[:, 1:], 1, 0), ts))
+    # terminal state: better of final blank / final label
+    end_s = 2 * label_lengths
+    d_end = jnp.take_along_axis(delta_final, end_s[:, None], axis=1)[:, 0]
+    d_end_m1 = jnp.take_along_axis(
+        delta_final, jnp.maximum(end_s - 1, 0)[:, None], axis=1)[:, 0]
+    d_end_m1 = jnp.where(label_lengths > 0, d_end_m1, NEG_INF)
+    last_state = jnp.where(d_end >= d_end_m1, end_s,
+                           jnp.maximum(end_s - 1, 0))
+
+    # host backtrace (bps: [T-1, B, S] int8)
+    bps_np = np.asarray(bps)
+    last_state_np = np.asarray(last_state)
+    tl = np.asarray(logit_lengths)
+    ul = np.asarray(label_lengths)
+    starts = np.full((b, u), -1, np.int32)
+    ends = np.full((b, u), -1, np.int32)
+    for i in range(b):
+        if tl[i] <= 0 or ul[i] <= 0:
+            continue
+        s_cur = int(last_state_np[i])
+        for t_idx in range(int(tl[i]) - 1, -1, -1):
+            if s_cur % 2 == 1:                       # label state
+                tok = (s_cur - 1) // 2
+                starts[i, tok] = t_idx
+                if ends[i, tok] < 0:
+                    ends[i, tok] = t_idx
+            if t_idx > 0:
+                s_cur -= int(bps_np[t_idx - 1, i, s_cur])
+    return jnp.asarray(starts), jnp.asarray(ends)
