@@ -316,7 +316,43 @@ def over_budget(label):
     return False
 
 
+def backend_ready(timeout_s: float = 300.0) -> bool:
+    """Probe jax backend init in a daemon thread: the axon TPU tunnel has
+    been observed to HANG init for hours when the pool is unhealthy
+    (r3, 2026-08-17) — a hung bench records nothing, a failed probe still
+    prints the JSON line the driver expects."""
+    import threading
+    ok = []
+
+    def probe():
+        try:
+            import jax
+            ok.append(len(jax.devices()) > 0)
+        except Exception as e:  # noqa: BLE001
+            log(f"backend init failed: {e!r}")
+            ok.append(False)
+
+    th = threading.Thread(target=probe, daemon=True)
+    th.start()
+    th.join(timeout_s)
+    if not ok:
+        log(f"backend init did not complete within {timeout_s:.0f}s")
+        return False
+    return ok[0]
+
+
 def main():
+    if not backend_ready():
+        print(json.dumps({
+            "metric": "joint_beam_decode_inverse_rtf",
+            "value": 0,
+            "unit": "x_realtime_per_chip",
+            "vs_baseline": 0,
+            "extras": {"error": "TPU backend unavailable (device init hung "
+                                "or failed; axon tunnel down) — no "
+                                "measurement possible this run"},
+        }))
+        return
     cfg, model, params, batch_arrays = build()
     feats, flens, targets, tlens = batch_arrays
     batches, audio_s = make_decode_batches()
