@@ -240,6 +240,8 @@ def main():
                 # emission encoder-frame per token (x subsample stride
                 # x 10 ms for seconds) — greedy CTC / transducer modes
                 rec_out["times"] = nb[0]["times"]
+            if "confidence" in nb[0]:
+                rec_out["confidence"] = nb[0]["confidence"]
             if len(nb) > 1:
                 rec_out["nbest"] = nb
             f.write(json.dumps(rec_out) + "\n")

@@ -118,7 +118,14 @@ class Recognizer:
         enc_out, el = self.model.apply(params, feats, flens,
                                        method="encode")
         logits = self.model.apply(params, enc_out, method="ctc_logits")
-        return ctc_greedy_decode(logits, el, return_times=True)
+        toks, lens, times = ctc_greedy_decode(logits, el, return_times=True)
+        # per-token confidence: max frame posterior at the emission frame
+        frame_conf = jnp.max(jax.nn.softmax(
+            logits.astype(jnp.float32), axis=-1), axis=-1)     # [B, T']
+        confs = jnp.take_along_axis(
+            frame_conf, jnp.maximum(times, 0), axis=1)
+        confs = jnp.where(times >= 0, confs, 0.0)
+        return toks, lens, times, confs
 
     @partial(jax.jit, static_argnums=0)
     def _transducer(self, params, batch):
@@ -252,8 +259,9 @@ class Recognizer:
                       "score": float(scores[i, w])}
                      for w in range(nbest)]
                     for i in range(toks.shape[0])]
+        confs = None
         if self.mode == "greedy_ctc":
-            toks, lens, times = self._greedy_ctc(self.params, arrays)
+            toks, lens, times, confs = self._greedy_ctc(self.params, arrays)
         elif self.mode == "transducer_greedy":
             toks, lens, times = self._transducer(self.params, arrays)
         else:
@@ -267,8 +275,12 @@ class Recognizer:
                 # emission encoder-frame per kept token (same filtering
                 # as clean: drop pads and the reserved eos id)
                 row, tr = toks[i], np.asarray(times)[i]
-                hyp["times"] = [int(tr[j]) for j in range(int(lens[i]))
-                                if int(row[j]) >= 0
-                                and int(row[j]) != eos]
+                keep = [j for j in range(int(lens[i]))
+                        if int(row[j]) >= 0 and int(row[j]) != eos]
+                hyp["times"] = [int(tr[j]) for j in keep]
+                if confs is not None:
+                    cr = np.asarray(confs)[i]
+                    hyp["confidence"] = [round(float(cr[j]), 4)
+                                         for j in keep]
             out.append([hyp])
         return out
