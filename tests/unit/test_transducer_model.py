@@ -456,7 +456,7 @@ def test_transducer_emission_times_streaming_equals_offline():
     model, params = init_model(cfg, batch)
     t = 120
     feats = (rng.standard_normal((t, 80)) * 3).astype(np.float32)
-    toks, lens, times = transducer_greedy_decode(
+    toks, lens, times, confs = transducer_greedy_decode(
         model, params, jnp.asarray(feats[None]), jnp.asarray([t], np.int32),
         max_tokens=24, return_times=True)
     n = int(lens[0])
@@ -467,3 +467,7 @@ def test_transducer_emission_times_streaming_equals_offline():
     rec.push(feats[:50]); rec.push(feats[50:])
     rec.finish()
     assert rec.hypothesis_times == off_times
+    n2 = len(rec.hypothesis)
+    off_confs = [round(float(x), 4) for x in np.asarray(confs)[0, :n2]]
+    assert rec.hypothesis_confidence == off_confs
+    assert all(0.0 < c <= 1.0 for c in off_confs)

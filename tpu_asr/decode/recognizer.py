@@ -263,7 +263,7 @@ class Recognizer:
         if self.mode == "greedy_ctc":
             toks, lens, times, confs = self._greedy_ctc(self.params, arrays)
         elif self.mode == "transducer_greedy":
-            toks, lens, times = self._transducer(self.params, arrays)
+            toks, lens, times, confs = self._transducer(self.params, arrays)
         else:
             toks, lens = self._cif(self.params, arrays)
             times = None

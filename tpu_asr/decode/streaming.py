@@ -660,3 +660,10 @@ class StreamingTransducerRecognizer:
         stride x 10 ms for seconds)."""
         times = np.asarray(self._tstate["times"][0])
         return [int(x) for x in times[: int(self._tstate["u"][0])]]
+
+    @property
+    def hypothesis_confidence(self) -> list[float]:
+        """Per-token emission probability (softmax of the emitted token)."""
+        confs = np.asarray(self._tstate["confs"][0])
+        return [round(float(x), 4)
+                for x in confs[: int(self._tstate["u"][0])]]

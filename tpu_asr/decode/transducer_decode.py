@@ -43,6 +43,7 @@ def greedy_init(model, params, batch: int, max_tokens: int):
         u=jnp.zeros((batch,), jnp.int32),
         tokens=jnp.full((batch, max_tokens), -1, jnp.int32),
         times=jnp.full((batch, max_tokens), -1, jnp.int32),
+        confs=jnp.zeros((batch, max_tokens), jnp.float32),
         g=g0,
         cache=cache,
     )
@@ -87,6 +88,11 @@ def greedy_advance(model, params, f, n_valid, state,
             jnp.where(emit, k, cur))
         times = st["times"].at[rows, u_clip].set(
             jnp.where(emit, frame_offset + t, st["times"][rows, u_clip]))
+        # per-token confidence: softmax prob of the emitted token
+        logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+        k_lp = jnp.take_along_axis(logp, k[:, None], axis=1)[:, 0]
+        confs = st["confs"].at[rows, u_clip].set(
+            jnp.where(emit, jnp.exp(k_lp), st["confs"][rows, u_clip]))
         # Predictor advances only on emit rows; the step itself runs
         # batched (one program), non-emit rows keep g and cache.
         k_safe = jnp.where(emit, k, sos)
@@ -105,7 +111,7 @@ def greedy_advance(model, params, f, n_valid, state,
             u=jnp.where(emit, u + 1, u),
             emitted=jnp.where(emit, st["emitted"] + 1,
                               jnp.where(advance, 0, st["emitted"])),
-            tokens=tokens, times=times, g=g, cache=cache)
+            tokens=tokens, times=times, confs=confs, g=g, cache=cache)
 
     final = jax.lax.while_loop(cond, body, state)
     final.pop("t")
@@ -129,7 +135,8 @@ def transducer_greedy_decode(model, params, feats, feat_lengths,
     state = greedy_advance(model, params, f, n_valid, state,
                            max_symbols_per_frame)
     if return_times:
-        return state["tokens"], state["u"], state["times"]
+        return (state["tokens"], state["u"], state["times"],
+                state["confs"])
     return state["tokens"], state["u"]
 
 
