@@ -326,3 +326,24 @@ def test_cif_streaming_single_integrate_dispatch_per_push():
     # decoder dispatches track fired tokens (hyp + possible eos/tail)
     assert counts["emit"] >= len(hyp)
     assert counts["emit"] <= len(hyp) + 2
+
+
+def test_streaming_confidence_matches_offline():
+    """Streaming per-token confidences equal the offline recognizer's
+    (same definition: max frame posterior at the emission frame)."""
+    _, params = _model_and_params()
+    t = 140
+    feats = _random_feats(t, seed=9)
+    offline = Recognizer(cfg=CFG, params=params, mode="greedy_ctc")
+    nb = offline.decode_batch_nbest(
+        {"feats": feats[None], "feat_lengths": np.asarray([t], np.int32)})
+    ref_conf = nb[0][0]["confidence"]
+    rec = StreamingCTCRecognizer(CFG, params, max_frames=256)
+    rec.push(feats[:64]); rec.push(feats[64:])
+    rec.finish()
+    # offline clean() drops eos tokens; align on the kept token indices
+    hyp = rec.hypothesis
+    eos = CFG.vocab_size - 1
+    kept = [j for j, tok in enumerate(hyp) if tok != eos]
+    got = [rec.hypothesis_confidence[j] for j in kept]
+    assert got == [round(float(c), 4) for c in ref_conf]

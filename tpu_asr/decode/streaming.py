@@ -80,6 +80,7 @@ class StreamingCTCRecognizer:
         self._prev_id = self.blank   # CTC collapse state across pushes
         self._tokens: list[int] = []
         self._times: list[int] = []  # emission enc-frame per token
+        self._confs: list[float] = []  # max posterior at emission frame
         self._finished = False
         if self.incremental and chunk > 0:
             t_max = self._enc_len(self.max_frames)
@@ -96,7 +97,8 @@ class StreamingCTCRecognizer:
                                        method=Transformer.encode)
         logits = self.model.apply(params, enc_out,
                                   method=Transformer.ctc_logits)
-        return jnp.argmax(logits, axis=-1)[0], el[0]   # [T'], scalar
+        probs = jnp.max(jax.nn.softmax(logits.astype(jnp.float32), -1), -1)
+        return jnp.argmax(logits, axis=-1)[0], probs[0], el[0]
 
     # incremental path: one compiled chunk program, O(C * T_cached)
     @partial(jax.jit, static_argnums=0)
@@ -104,7 +106,9 @@ class StreamingCTCRecognizer:
         def fwd(model, window, chunk_idx, valid_upto, caches):
             enc_c, caches = model.encoder.encode_chunk(
                 window, chunk_idx, caches, valid_upto=valid_upto)
-            return jnp.argmax(model.ctc_logits(enc_c), axis=-1)[0], caches
+            lg = model.ctc_logits(enc_c)
+            probs = jnp.max(jax.nn.softmax(lg.astype(jnp.float32), -1), -1)
+            return jnp.argmax(lg, axis=-1)[0], probs[0], caches
         return self.model.apply(params, window, chunk_idx, valid_upto,
                                 caches, method=fwd)
 
@@ -119,31 +123,36 @@ class StreamingCTCRecognizer:
             return 0
         return (el // chunk) * chunk
 
-    def _new_ids(self, upto: int) -> np.ndarray:
+    def _new_ids(self, upto: int):
+        """-> (argmax ids, per-frame max posterior) for new final frames."""
         if not self.incremental:
-            ids, _ = self._argmax_ids(
+            ids, probs, _ = self._argmax_ids(
                 self.params, jnp.asarray(self._buf[:, : self.max_frames]),
                 self._n)
-            return np.asarray(ids[self._emitted_enc:upto])
+            sl = slice(self._emitted_enc, upto)
+            return np.asarray(ids[sl]), np.asarray(probs[sl])
         chunk = self.cfg.enc_chunk_size
         el = self._enc_len(self._n)
         stride = self.cfg.conv_total_stride
-        got = []
+        got, got_p = [], []
         while self._chunks_done * chunk < upto:
             k = self._chunks_done
             start = stride * k * chunk
             window = jnp.asarray(self._buf[:, start: start + self._win])
-            ids, self._caches = self._chunk_ids(self.params, window, k, el,
-                                                self._caches)
+            ids, probs, self._caches = self._chunk_ids(
+                self.params, window, k, el, self._caches)
             take = min(chunk, upto - k * chunk)
             got.append(np.asarray(ids[:take]))
+            got_p.append(np.asarray(probs[:take]))
             self._chunks_done += 1
-        return np.concatenate(got) if got else np.zeros(0, np.int64)
+        if not got:
+            return np.zeros(0, np.int64), np.zeros(0, np.float32)
+        return np.concatenate(got), np.concatenate(got_p)
 
     def _emit(self, upto: int) -> list[int]:
         if upto <= self._emitted_enc:
             return []
-        ids = self._new_ids(upto)
+        ids, probs = self._new_ids(upto)
         out = []
         base = self._emitted_enc
         for j, i in enumerate(ids):
@@ -151,6 +160,7 @@ class StreamingCTCRecognizer:
             if i != self.blank and i != self._prev_id:
                 out.append(i)
                 self._times.append(base + j)
+                self._confs.append(round(float(probs[j]), 4))
             self._prev_id = i
         self._emitted_enc = upto
         self._tokens.extend(out)
@@ -181,6 +191,11 @@ class StreamingCTCRecognizer:
     def hypothesis_times(self) -> list[int]:
         """Per-token emission encoder-frame indices."""
         return list(self._times)
+
+    @property
+    def hypothesis_confidence(self) -> list[float]:
+        """Per-token max frame posterior at the emission frame."""
+        return list(self._confs)
 
 
 @dataclasses.dataclass(eq=False)
