@@ -260,6 +260,8 @@ class StreamSessions:
                 resp = {"new_tokens": new, "tokens": tokens, "final": True}
                 if hasattr(rec, "hypothesis_times"):
                     resp["times"] = rec.hypothesis_times
+                if hasattr(rec, "hypothesis_confidence"):
+                    resp["confidence"] = rec.hypothesis_confidence
                 del self._sessions[session_id]
                 return resp
             cur = (list(rec._tokens) if hasattr(rec, "_tokens")
@@ -268,6 +270,8 @@ class StreamSessions:
             resp = {"new_tokens": new, "tokens": cur, "final": False}
             if hasattr(rec, "hypothesis_times"):
                 resp["times"] = rec.hypothesis_times
+            if hasattr(rec, "hypothesis_confidence"):
+                resp["confidence"] = rec.hypothesis_confidence
             return resp
 
     @property
