@@ -193,7 +193,8 @@ def main():
                                      minlenratio=args.minlenratio,
                                      length_penalty=args.length_penalty,
                                      ctc_weight=args.ctc_weight
-                                     if mode in ("joint", "attn_rescore")
+                                     if mode in ("joint", "attn_rescore",
+                                                 "transducer_rescore")
                                      else 0.0,
                                      lm_weight=args.lm_weight
                                      if args.lm_ckpt else 0.0),

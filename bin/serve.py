@@ -132,7 +132,8 @@ def main():
         beam=BeamConfig(beam=args.beam, max_len=args.max_len,
                         nbest=args.beam,   # requests slice their own nbest
                         ctc_weight=args.ctc_weight
-                        if mode in ("joint", "attn_rescore") else 0.0,
+                        if mode in ("joint", "attn_rescore",
+                                    "transducer_rescore") else 0.0,
                         lm_weight=args.lm_weight if args.lm_ckpt else 0.0),
         lm_cfg=lm_cfg, lm_params=lm_params)
 
