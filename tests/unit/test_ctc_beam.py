@@ -106,6 +106,154 @@ def test_peaked_logits_equal_greedy():
     assert beam1 == greedy
 
 
+def _lm_next_fn(lm, lm_params, sos):
+    """Host oracle LM: prefix tuple -> next-token log-prob vector, via the
+    teacher-forced TransformerLM __call__ (memoized)."""
+    import jax
+    memo = {}
+
+    def f(prefix):
+        if prefix not in memo:
+            ys = jnp.asarray([[sos] + list(prefix)], jnp.int32)
+            lp = jax.nn.log_softmax(
+                lm.apply(lm_params, ys).astype(jnp.float32), axis=-1)
+            memo[prefix] = np.asarray(lp[0, -1])
+        return memo[prefix]
+
+    return f
+
+
+def oracle_fused_beam(logp, beam, lm_next, lm_weight, blank=0):
+    """Shallow-fusion host oracle: the acoustic pb/pnb recursion of
+    oracle_prefix_beam, but per-frame pruning AND final ranking use
+    score = logP_ctc(prefix) + lm_weight * logP_lm(prefix)."""
+    t_len, v = logp.shape
+    lmsc = {(): 0.0}
+
+    def lm_score(p):
+        if p not in lmsc:
+            lmsc[p] = (lm_score(p[:-1])
+                       + lm_weight * float(lm_next(p[:-1])[p[-1]]))
+        return lmsc[p]
+
+    beams = {(): (0.0, NEG_INF)}
+    for t in range(t_len):
+        new = defaultdict(lambda: [NEG_INF, NEG_INF])
+        for prefix, (pb, pnb) in beams.items():
+            total = _lae(pb, pnb)
+            ent = new[prefix]
+            ent[0] = _lae(ent[0], total + logp[t, blank])
+            if prefix:
+                ent[1] = _lae(ent[1], pnb + logp[t, prefix[-1]])
+            for c in range(v):
+                if c == blank:
+                    continue
+                base = pb if (prefix and c == prefix[-1]) else total
+                ext = new[prefix + (c,)]
+                ext[1] = _lae(ext[1], base + logp[t, c])
+        ranked = sorted(
+            new.items(),
+            key=lambda kv: -(_lae(*kv[1]) + lm_score(kv[0])))[:beam]
+        beams = {k: tuple(val) for k, val in ranked}
+    return [(list(p), _lae(*s) + lm_score(p)) for p, s in
+            sorted(beams.items(),
+                   key=lambda kv: -(_lae(*kv[1]) + lm_score(kv[0])))]
+
+
+def test_lm_fusion_matches_host_oracle():
+    """Fused CTC prefix beam (compiled lax.scan with in-carry LM caches)
+    == the host fusion oracle: same 1-best prefixes and fused scores,
+    and the LM actually changes the ranking vs the acoustic-only search
+    on at least one utterance."""
+    import jax
+    from tpu_asr.models.lm import LMConfig, TransformerLM
+
+    v, t, beam = 8, 14, 4
+    sos = v - 2
+    lm_cfg = LMConfig(vocab_size=v, d_model=16, d_inner=32, num_heads=2,
+                      num_layers=1, dropout=0.0)
+    lm = TransformerLM(lm_cfg)
+    lm_params = lm.init(jax.random.PRNGKey(2),
+                        jnp.zeros((1, 4), jnp.int32))
+    rng = np.random.default_rng(11)
+    lens = np.asarray([14, 9, 12], np.int32)
+    logits = rng.standard_normal((3, t, v)).astype(np.float32) * 1.5
+    lm_w = 0.7
+
+    toks, tlens, scores = ctc_prefix_beam_search(
+        jnp.asarray(logits), jnp.asarray(lens), beam=beam, topk=v - 1,
+        max_len=t, lm=lm, lm_params=lm_params, lm_weight=lm_w, sos=sos)
+    pl_toks, pl_lens, _ = ctc_prefix_beam_search(
+        jnp.asarray(logits), jnp.asarray(lens), beam=beam, topk=v - 1,
+        max_len=t)
+
+    lm_next = _lm_next_fn(lm, lm_params, sos)
+    changed = False
+    for i in range(3):
+        e = np.exp(logits[i])
+        lp = np.log(e / e.sum(-1, keepdims=True))
+        ref = oracle_fused_beam(lp[: lens[i]], beam, lm_next, lm_w)
+        got = [int(x) for x in np.asarray(toks[i, 0])[: int(tlens[i, 0])]]
+        assert got == ref[0][0], (i, got, ref[0])
+        np.testing.assert_allclose(float(scores[i, 0]), ref[0][1],
+                                   rtol=1e-4, atol=1e-4)
+        plain = [int(x)
+                 for x in np.asarray(pl_toks[i, 0])[: int(pl_lens[i, 0])]]
+        changed = changed or plain != got
+    assert changed, "LM weight 0.7 should alter at least one 1-best"
+
+
+def test_lm_fusion_streaming_equals_offline():
+    """StreamingCTCBeamRecognizer with shallow fusion: the fused beam
+    state (LM scores, next-token log-probs, K/V caches) rides the
+    cross-push carry, so chunked streaming == offline fused search."""
+    import jax
+    from tpu_asr.decode.streaming import StreamingCTCBeamRecognizer
+    from tpu_asr.models import ModelConfig, Transformer
+    from tpu_asr.models.lm import LMConfig, TransformerLM
+
+    cfg = ModelConfig(vocab_size=12, d_input=80, d_model=32, d_inner=64,
+                      num_heads=2, num_enc_layers=2, num_dec_layers=1,
+                      dropout=0.0, model_type="ctc", enc_chunk_size=4)
+    model = Transformer(cfg)
+    lm_cfg = LMConfig(vocab_size=12, d_model=16, d_inner=32, num_heads=2,
+                      num_layers=1, dropout=0.0)
+    lm = TransformerLM(lm_cfg)
+    lm_params = lm.init(jax.random.PRNGKey(3),
+                        jnp.zeros((1, 4), jnp.int32))
+    rng = np.random.default_rng(13)
+    t = 131
+    feats = (rng.standard_normal((t, 80)) * 3).astype(np.float32)
+    params = model.init(jax.random.PRNGKey(1),
+                        jnp.zeros((1, 80, 80), jnp.float32),
+                        jnp.full((1,), 80, jnp.int32),
+                        jnp.zeros((1, 4), jnp.int32),
+                        jnp.full((1,), 4, jnp.int32))
+
+    enc, el = model.apply(params, jnp.asarray(feats[None]),
+                          jnp.asarray([t], jnp.int32),
+                          method=Transformer.encode)
+    logits = model.apply(params, enc, method=Transformer.ctc_logits)
+    toks, lens, _ = ctc_prefix_beam_search(
+        logits, el, beam=4, topk=8, max_len=48,
+        lm=lm, lm_params=lm_params, lm_weight=0.5,
+        sos=cfg.vocab_size - 2)
+    ref = [int(x) for x in np.asarray(toks[0, 0])[: int(lens[0, 0])]]
+
+    for sizes in ((t,), (23,) * 6):
+        rec = StreamingCTCBeamRecognizer(
+            cfg, params, beam=4, topk=8, max_frames=192, max_tokens=48,
+            lm_cfg=lm_cfg, lm_params=lm_params, lm_weight=0.5)
+        pos = 0
+        for sz in sizes:
+            take = min(sz, t - pos)
+            if not take:
+                break
+            rec.push(feats[pos:pos + take])
+            pos += take
+        assert rec.finish() == ref, sizes
+
+
 def test_recognizer_ctc_beam_mode():
     """mode="ctc_beam" plumbs through the Recognizer (nbest format,
     pad/eos cleaning) and matches the direct search 1-best."""

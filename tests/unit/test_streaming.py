@@ -293,39 +293,50 @@ def test_conv_window_geometry_derived():
 
 def test_cif_streaming_single_integrate_dispatch_per_push():
     """The accumulate-and-fire runs as ONE jitted scan per push (VERDICT
-    r2 item 7) — not a host loop over alpha frames — and only fired
-    tokens dispatch decoder steps."""
+    r2 item 7), and the fired tokens run ONE jitted k-step decoder loop
+    per push (VERDICT r3 item 8) — dispatches per push are independent
+    of fire count (only the end-of-stream tail-round may add a single
+    _emit_token dispatch)."""
     from tpu_asr.decode.streaming import StreamingCIFRecognizer
     _, params = _cif_params(seed=4)
     t = 170
     feats = _random_feats(t, seed=13)
     rec = StreamingCIFRecognizer(CIF_CFG, params, max_frames=192)
-    counts = {"integrate": 0, "emit": 0}
+    counts = {"integrate": 0, "dec_loop": 0, "emit": 0}
     orig_integrate = rec._integrate_fires
+    orig_dec_steps = rec._dec_steps
     orig_emit = rec._emit_token
 
     def counting_integrate(*a, **k):
         counts["integrate"] += 1
         return orig_integrate(*a, **k)
 
+    def counting_dec_steps(*a, **k):
+        counts["dec_loop"] += 1
+        return orig_dec_steps(*a, **k)
+
     def counting_emit(*a, **k):
         counts["emit"] += 1
         return orig_emit(*a, **k)
 
     rec._integrate_fires = counting_integrate
+    rec._dec_steps = counting_dec_steps
     rec._emit_token = counting_emit
     n_push = 0
     for pos in range(0, t, 11):
         rec.push(feats[pos:pos + 11])
         n_push += 1
     hyp = rec.finish()
+    assert len(hyp) >= 2, "fixture should fire multiple tokens"
     alpha_frames = int(CIF_CFG.subsampled_length(t))
-    # one scan dispatch per push at most (+1 for finish), NOT per frame
+    # one integrate scan per push at most (+1 for finish), NOT per frame
     assert counts["integrate"] <= n_push + 1
     assert counts["integrate"] < alpha_frames
-    # decoder dispatches track fired tokens (hyp + possible eos/tail)
-    assert counts["emit"] >= len(hyp)
-    assert counts["emit"] <= len(hyp) + 2
+    # one decoder LOOP per firing push — NOT one dispatch per token
+    assert counts["dec_loop"] <= n_push + 1
+    assert counts["dec_loop"] < len(hyp) + counts["integrate"]
+    # host-side single-token path only for the tail rounding
+    assert counts["emit"] <= 1
 
 
 def test_streaming_confidence_matches_offline():

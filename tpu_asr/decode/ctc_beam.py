@@ -19,6 +19,16 @@ little redundant compute for zero dynamic shapes.
 
 Padding rows (length-0 utterances) and frames past each utterance's
 length are no-ops via masked updates.
+
+Optional LM shallow fusion (beyond-reference, matching the attention/
+joint beam and transducer ALSD): candidates are RANKED by the fused
+score  logP_ctc(prefix) + lm_weight * logP_lm(prefix)  while the pb/pnb
+recursion stays purely acoustic. The LM score is a function of the
+prefix alone, so the exact duplicate merge is unaffected (equal prefixes
+carry equal LM scores). The external TransformerLM advances inside the
+same lax.scan via its per-row-position ``step_at`` cache API — one LM
+step over all B*W beams per frame (idempotent for beams that stayed:
+re-feeding the same token at the same position rewrites identical K/V).
 """
 
 from __future__ import annotations
@@ -39,9 +49,13 @@ def _logaddexp(a, b):
     return jnp.where(m <= NEG_INF / 2, NEG_INF, out)
 
 
-def beam_init(b: int, beam: int, max_len: int, pad_id: int = -1):
+def beam_init(b: int, beam: int, max_len: int, pad_id: int = -1,
+              lm=None, lm_params=None, sos: int | None = None):
     """Fresh beam-search state (also the streaming carry): only beam 0 is
-    live (the empty prefix, pb=0)."""
+    live (the empty prefix, pb=0). With an LM, the state grows three
+    fused-scoring elements: per-beam cumulative weighted LM score, the
+    next-token LM log-probs for each beam's prefix (seeded by one
+    ``step_at`` on <sos>), and the LM K/V caches [B*W, max_len+1, ...]."""
     w = beam
     prefixes0 = jnp.full((b, w, max_len), pad_id, jnp.int32)
     lens0 = jnp.zeros((b, w), jnp.int32)
@@ -49,21 +63,44 @@ def beam_init(b: int, beam: int, max_len: int, pad_id: int = -1):
     pb0 = jnp.broadcast_to(pb0, (b, w))
     pnb0 = jnp.full((b, w), NEG_INF)
     last0 = jnp.full((b, w), -1, jnp.int32)   # -1: no last token
-    return (prefixes0, lens0, pb0, pnb0, last0)
+    state = (prefixes0, lens0, pb0, pnb0, last0)
+    if lm is None:
+        return state
+    assert sos is not None, "LM fusion needs the sos id"
+    cache0 = lm.apply(lm_params, b * w, max_len + 1,
+                      method=type(lm).init_cache)
+    y0 = jnp.full((b * w,), sos, jnp.int32)
+    pos0 = jnp.zeros((b * w,), jnp.int32)
+    logits0, cache0 = lm.apply(lm_params, y0, pos0, cache0,
+                               method=type(lm).step_at)
+    lm_lp0 = jax.nn.log_softmax(
+        logits0.astype(jnp.float32), axis=-1).reshape(b, w, -1)
+    lm_sc0 = jnp.zeros((b, w), jnp.float32)
+    return state + (lm_sc0, lm_lp0, cache0)
 
 
-def beam_advance(state, logp, frame_valid, topk: int = 8, blank: int = 0):
+def beam_advance(state, logp, frame_valid, topk: int = 8, blank: int = 0,
+                 lm=None, lm_params=None, lm_weight: float = 0.0,
+                 sos: int | None = None):
     """Advance the search over logp [B, Tc, V] (log-softmaxed) with
     frame_valid [B, Tc]; frame-synchronous, so chunk-at-a-time advances
-    compose to exactly the full-utterance search (the streaming use)."""
+    compose to exactly the full-utterance search (the streaming use).
+    When ``state`` carries LM elements (built by ``beam_init(lm=...)``),
+    pass the same lm/lm_params/lm_weight/sos for shallow fusion."""
     b, w, max_len = state[0].shape
     v = logp.shape[-1]
     k = min(topk, v - 1)
+    fused = len(state) == 8
+    assert (lm is not None) == fused, \
+        "state arity and lm argument must agree"
 
     n = w * (k + 1)                       # stay + K extends per beam
 
     def step(carry, lp_t):
-        prefixes, lens, pb, pnb, last = carry
+        if fused:
+            prefixes, lens, pb, pnb, last, lm_sc, lm_lp, lm_cache = carry
+        else:
+            prefixes, lens, pb, pnb, last = carry
         lp, fvalid = lp_t                         # lp [B, V]; fvalid [B]
         lp_blank = lp[:, blank]                   # [B]
         total = _logaddexp(pb, pnb)               # [B, W]
@@ -106,6 +143,17 @@ def beam_advance(state, logp, frame_valid, topk: int = 8, blank: int = 0):
         cand_len = par_len + is_ext.astype(jnp.int32)
         cand_last = jnp.where(is_ext, app, last[:, parent])
 
+        if fused:
+            # prefix-function LM score: parent's cumulative score plus
+            # (for extends) the weighted next-token log-prob under the
+            # parent's LM distribution. Equal prefixes carry equal LM
+            # scores, so the duplicate merge below needs no LM change.
+            par_lm_lp = lm_lp[:, parent]                         # [B,N,V]
+            ext_lp = jnp.take_along_axis(
+                par_lm_lp, jnp.maximum(app, 0)[..., None], axis=-1)[..., 0]
+            cand_lm = lm_sc[:, parent] + jnp.where(
+                is_ext, lm_weight * ext_lp, 0.0)                 # [B, N]
+
         # exact duplicate merge: logsumexp equal prefixes into the first
         eq = (cand_len[:, :, None] == cand_len[:, None, :]) & jnp.all(
             cand_pref[:, :, None] == cand_pref[:, None, :], axis=-1)
@@ -118,6 +166,8 @@ def beam_advance(state, logp, frame_valid, topk: int = 8, blank: int = 0):
         cand_pnb = jnp.where(is_first, merged_pnb, NEG_INF)
 
         cand_total = _logaddexp(cand_pb, cand_pnb)
+        if fused:
+            cand_total = cand_total + cand_lm
         top_scores, top_idx = exact_top_k(cand_total, w)       # [B, W]
 
         def pick(x):
@@ -128,11 +178,36 @@ def beam_advance(state, logp, frame_valid, topk: int = 8, blank: int = 0):
                pick(cand_pb[..., None])[..., 0],
                pick(cand_pnb[..., None])[..., 0],
                pick(cand_last[..., None])[..., 0])
+        old_state = (prefixes, lens, pb, pnb, last)
+        if fused:
+            new_lm_sc = pick(cand_lm[..., None])[..., 0]
+            sel_parent = parent[top_idx]                         # [B, W]
+            flat = (jnp.arange(b)[:, None] * w + sel_parent).reshape(-1)
+            cache = jax.tree_util.tree_map(lambda x: x[flat], lm_cache)
+            new_len, new_last = new[1], new[4]
+            # feed y_L at position L (sos at 0 when empty) -> P(y_{L+1}|.)
+            y_in = jnp.where(new_len > 0, new_last, sos).reshape(-1)
+            pos = new_len.reshape(-1)
+            lgt, cache = lm.apply(lm_params, y_in, pos, cache,
+                                  method=type(lm).step_at)
+            new_lm_lp = jax.nn.log_softmax(
+                lgt.astype(jnp.float32), axis=-1).reshape(b, w, -1)
+            new = new + (new_lm_sc, new_lm_lp, cache)
+            old_state = old_state + (lm_sc, lm_lp, lm_cache)
         # frames past the utterance length are no-ops
-        keep = fvalid[:, None]
-        out = tuple(
-            jnp.where(keep[..., None] if o.ndim == 3 else keep, o, old)
-            for o, old in zip(new, (prefixes, lens, pb, pnb, last)))
+        keep = fvalid[:, None]                                   # [B, 1]
+        keep_flat = jnp.broadcast_to(keep, (b, w)).reshape(-1)
+
+        def mask(o, old):
+            if isinstance(o, dict):                  # LM cache pytree
+                return jax.tree_util.tree_map(
+                    lambda a, b_: jnp.where(
+                        keep_flat.reshape(-1, *([1] * (a.ndim - 1))),
+                        a, b_), o, old)
+            kb = keep.reshape(b, 1, *([1] * (o.ndim - 2)))
+            return jnp.where(kb, o, old)
+
+        out = tuple(mask(o, old) for o, old in zip(new, old_state))
         return out, None
 
     frames = jnp.moveaxis(logp, 1, 0)                            # [Tc,B,V]
@@ -143,9 +218,12 @@ def beam_advance(state, logp, frame_valid, topk: int = 8, blank: int = 0):
 
 def beam_finalize(state):
     """-> (tokens [B, W, max_len], lengths [B, W], scores [B, W]),
-    sorted best-first by log P(prefix)."""
-    prefixes, lens, pb, pnb, _ = state
+    sorted best-first by log P(prefix) (+ the weighted LM score when the
+    state carries fusion elements)."""
+    prefixes, lens, pb, pnb = state[0], state[1], state[2], state[3]
     scores = _logaddexp(pb, pnb)
+    if len(state) == 8:
+        scores = scores + state[5]
     order = jnp.argsort(-scores, axis=-1)
     prefixes = jnp.take_along_axis(prefixes, order[..., None], axis=1)
     lens = jnp.take_along_axis(lens, order, axis=1)
@@ -161,15 +239,25 @@ def ctc_prefix_beam_search(
     max_len: int = 200,
     blank: int = 0,
     pad_id: int = -1,
+    lm=None,
+    lm_params=None,
+    lm_weight: float = 0.0,
+    sos: int | None = None,
 ):
     """ctc_logits [B, T, V], enc_lengths [B] ->
     (tokens [B, beam, max_len] pad_id-padded, lengths [B, beam],
-    scores [B, beam] log P(prefix)) sorted best-first."""
+    scores [B, beam] log P(prefix) [+ lm_weight*logP_lm when fused])
+    sorted best-first."""
     b, t, _ = ctc_logits.shape
     logp = jax.nn.log_softmax(ctc_logits.astype(jnp.float32), axis=-1)
     frame_valid = jnp.arange(t)[None, :] < enc_lengths[:, None]  # [B, T]
-    state = beam_init(b, beam, max_len, pad_id)
-    state = beam_advance(state, logp, frame_valid, topk=topk, blank=blank)
+    use_lm = lm is not None and lm_weight > 0.0
+    state = beam_init(b, beam, max_len, pad_id,
+                      lm=lm if use_lm else None, lm_params=lm_params,
+                      sos=sos)
+    state = beam_advance(state, logp, frame_valid, topk=topk, blank=blank,
+                         lm=lm if use_lm else None, lm_params=lm_params,
+                         lm_weight=lm_weight, sos=sos)
     return beam_finalize(state)
 
 

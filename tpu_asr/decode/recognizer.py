@@ -36,9 +36,8 @@ class Recognizer:
     # reference's raw-alpha firing (identical to StreamingCIFRecognizer).
     cif_scale_fire: bool = True
     # Optional external TransformerLM (models/lm.py) for shallow fusion
-    # (beam/joint, weight = beam.lm_weight) and attn_rescore n-best
-    # rescoring. ctc_beam/greedy paths are frame-synchronous and do not
-    # consume it.
+    # (beam/joint/ctc_beam/transducer_beam, weight = beam.lm_weight) and
+    # attn_rescore n-best rescoring. Greedy paths do not consume it.
     lm_cfg: object | None = None
     lm_params: dict | None = None
     # Optional jax.sharding.Mesh for data-parallel decode: batches are
@@ -81,7 +80,7 @@ class Recognizer:
         if self.lm_cfg is not None and self.beam.lm_weight > 0.0:
             from tpu_asr.models.lm import TransformerLM
             assert self.mode in ("beam", "joint", "attn_rescore",
-                                 "transducer_beam"), \
+                                 "transducer_beam", "ctc_beam"), \
                 f"LM fusion not supported in mode {self.mode}"
             assert self.lm_cfg.vocab_size == self.cfg.vocab_size, \
                 (self.lm_cfg.vocab_size, self.cfg.vocab_size)
@@ -170,7 +169,9 @@ class Recognizer:
         logits = self.model.apply(params, enc_out, method="ctc_logits")
         toks, lens, scores = ctc_prefix_beam_search(
             logits, el, beam=self.beam.beam,
-            max_len=min(self.beam.max_len, logits.shape[1]))
+            max_len=min(self.beam.max_len, logits.shape[1]),
+            lm=self.lm, lm_params=self.lm_params,
+            lm_weight=self.beam.lm_weight, sos=self.cfg.vocab_size - 2)
         return {"tokens": toks, "lengths": lens, "scores": scores}
 
     @partial(jax.jit, static_argnums=0)

@@ -207,6 +207,11 @@ class StreamingCTCBeamRecognizer:
     full utterance (tested). Unlike greedy streaming, the running best
     hypothesis may be revised by later audio: `push` returns the CURRENT
     1-best (not an append-only delta).
+
+    Optional LM shallow fusion (lm_cfg/lm_params/lm_weight): the fused
+    beam state (decode/ctc_beam.py) — LM scores, next-token log-probs
+    and K/V caches — simply rides the same cross-push carry, so the
+    streamed fused search equals the offline fused search (tested).
     """
 
     cfg: ModelConfig
@@ -216,6 +221,9 @@ class StreamingCTCBeamRecognizer:
     max_frames: int = 2000
     max_tokens: int = 200
     blank: int = 0
+    lm_cfg: object | None = None
+    lm_params: dict | None = None
+    lm_weight: float = 0.0
 
     def __post_init__(self):
         from tpu_asr.decode.ctc_beam import beam_init
@@ -226,6 +234,11 @@ class StreamingCTCBeamRecognizer:
             and self.cfg.enc_chunk_size > 0, \
             "streaming beam needs the chunked conv2d encoder"
         self.model = Transformer(self.cfg)
+        self.lm = None
+        if self.lm_cfg is not None and self.lm_weight > 0.0:
+            from tpu_asr.models.lm import TransformerLM
+            assert self.lm_cfg.vocab_size == self.cfg.vocab_size
+            self.lm = TransformerLM(self.lm_cfg)
         chunk = self.cfg.enc_chunk_size
         self._win = self.cfg.conv_input_window(chunk)
         self._buf = np.zeros(
@@ -236,12 +249,14 @@ class StreamingCTCBeamRecognizer:
         t_max = int(self.cfg.subsampled_length(self.max_frames))
         t_max = ((t_max + chunk - 1) // chunk) * chunk
         self._caches = Encoder(self.cfg).init_cache(1, t_max)
-        self._bstate = beam_init(1, self.beam, self.max_tokens)
+        self._bstate = beam_init(1, self.beam, self.max_tokens,
+                                 lm=self.lm, lm_params=self.lm_params,
+                                 sos=self.cfg.vocab_size - 2)
         self._finished = False
 
     @partial(jax.jit, static_argnums=0)
-    def _chunk_advance(self, params, window, chunk_idx, valid_upto,
-                       caches, bstate):
+    def _chunk_advance(self, params, lm_params, window, chunk_idx,
+                       valid_upto, caches, bstate):
         from tpu_asr.decode.ctc_beam import beam_advance
         chunk = self.cfg.enc_chunk_size
 
@@ -253,7 +268,10 @@ class StreamingCTCBeamRecognizer:
             fr = chunk_idx * chunk + jnp.arange(chunk)
             fvalid = (fr < valid_upto)[None, :]
             bstate = beam_advance(bstate, logp, fvalid, topk=self.topk,
-                                  blank=self.blank)
+                                  blank=self.blank, lm=self.lm,
+                                  lm_params=lm_params,
+                                  lm_weight=self.lm_weight,
+                                  sos=self.cfg.vocab_size - 2)
             return caches, bstate
 
         return self.model.apply(params, window, chunk_idx, valid_upto,
@@ -270,7 +288,8 @@ class StreamingCTCBeamRecognizer:
             start = self.cfg.conv_total_stride * k * chunk
             window = jnp.asarray(self._buf[:, start: start + self._win])
             self._caches, self._bstate = self._chunk_advance(
-                self.params, window, k, el, self._caches, self._bstate)
+                self.params, self.lm_params, window, k, el,
+                self._caches, self._bstate)
             self._chunks_done += 1
 
     def current_best(self) -> list[int]:
@@ -317,8 +336,10 @@ class StreamingCIFRecognizer:
     (tested).
 
     The integrate-and-fire itself is ONE jitted lax.scan per push
-    (_integrate_fires) — fire decisions and fired vectors come back as
-    arrays; only the per-fired-token decoder step loops on host.
+    (_integrate_fires), and the fired vectors then run ONE jitted
+    k-step AR decoder loop (_dec_steps, k padded to a power-of-two
+    bucket) — so device dispatches per push are O(1) regardless of how
+    many tokens the chunk fired.
     """
 
     cfg: ModelConfig
@@ -393,6 +414,40 @@ class StreamingCIFRecognizer:
             self._dec_params, y_prev, fired_t, pos, cache,
             method=CifDecoder.step)
         return jnp.argmax(logits, axis=-1).astype(jnp.int32), cache
+
+    @partial(jax.jit, static_argnums=(0, 1))
+    def _dec_steps(self, k_pad, vecs, n_fired, prev0, pos0, saw_eos0,
+                   cache):
+        """k_pad-step jitted AR decoder loop: ONE dispatch per push no
+        matter how many tokens the chunk fired (VERDICT r3 item 8 — the
+        per-fired-token ~1 ms dispatch tax scaled with fire count). Step
+        i decodes fired vector i iff i < n_fired, no eos yet, and
+        pos < max_tokens; otherwise it is a masked no-op (cache and
+        carries unchanged). Returns (tokens [k_pad] with -1 at
+        no-op/eos slots, prev, pos, saw_eos, cache). k_pad is a
+        power-of-two bucket so the jit cache stays O(log max_fires)."""
+        from tpu_asr.models.cif import CifDecoder
+
+        def step(carry, x):
+            prev, pos, saw_eos, cache = carry
+            vec, valid = x
+            do = valid & ~saw_eos & (pos < self.max_tokens)
+            logits, new_cache = self._dec.apply(
+                self._dec_params, prev[None], vec[None], pos, cache,
+                method=CifDecoder.step)
+            tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)[0]
+            new_cache = jax.tree_util.tree_map(
+                lambda a, b: jnp.where(do, a, b), new_cache, cache)
+            prev = jnp.where(do, tok, prev)
+            out = jnp.where(do & (tok != self._eos), tok, -1)
+            saw_eos = saw_eos | (do & (tok == self._eos))
+            pos = pos + do.astype(jnp.int32)
+            return (prev, pos, saw_eos, new_cache), out
+
+        valid = jnp.arange(k_pad) < n_fired
+        (prev, pos, saw_eos, cache), toks = jax.lax.scan(
+            step, (prev0, pos0, saw_eos0, cache), (vecs, valid))
+        return toks, prev, pos, saw_eos, cache
 
     @partial(jax.jit, static_argnums=0)
     def _enc_chunk(self, params, window, chunk_idx, valid_upto, caches):
@@ -506,8 +561,10 @@ class StreamingCIFRecognizer:
 
     def _integrate(self, upto: int) -> list[int]:
         """Accumulate-and-fire over alpha frames [_alpha_done, upto):
-        ONE jitted scan dispatch per push (TPU), then the per-fired-token
-        decoder loop on host. Returns newly emitted tokens."""
+        ONE jitted integrate scan per push, then ONE jitted k-step
+        decoder loop over the fired vectors (_dec_steps) — dispatches
+        per push are independent of fire count. Returns newly emitted
+        tokens."""
         if upto <= self._alpha_done:
             return []
         if self.incremental:
@@ -525,11 +582,19 @@ class StreamingCIFRecognizer:
         out = []
         fired_idx = np.nonzero(np.asarray(fires))[0]
         if fired_idx.size:
-            fired_vecs = np.asarray(vecs)[fired_idx]
-            for v in fired_vecs:
-                tok = self._emit_token(v)
-                if tok is not None:
-                    out.append(tok)
+            k = int(fired_idx.size)
+            k_pad = 1 << (k - 1).bit_length()
+            fired_vecs = np.zeros((k_pad, self.cfg.d_model), np.float32)
+            fired_vecs[:k] = np.asarray(vecs)[fired_idx]
+            toks, prev, pos, saw_eos, self._cache = self._dec_steps(
+                k_pad, jnp.asarray(fired_vecs), jnp.int32(k),
+                jnp.int32(self._prev), jnp.int32(self._pos),
+                jnp.bool_(self._saw_eos), self._cache)
+            out = [int(t) for t in np.asarray(toks) if t >= 0]
+            self._tokens.extend(out)
+            self._prev = int(prev)
+            self._pos = int(pos)
+            self._saw_eos = bool(saw_eos)
         self._accum = float(accum)
         self._acc_vec = np.asarray(acc_vec, np.float32)
         self._alpha_done = upto
