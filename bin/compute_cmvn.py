@@ -26,6 +26,12 @@ def parse_args():
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--manifest", required=True)
     p.add_argument("--out", required=True, help="output .npz path")
+    p.add_argument("--frontend-json", default="",
+                   help="frontend.json sidecar (or a checkpoint dir "
+                        "containing one) describing the frontend the "
+                        "stats are for; defaults to FrontendConfig() "
+                        "defaults. The frontend fingerprint is stored in "
+                        "the .npz and validated at apply time.")
     p.add_argument("--limit", type=int, default=0,
                    help="max utterances (0 = all)")
     p.add_argument("--platform", default="",
@@ -46,12 +52,26 @@ def main():
     import numpy as np
 
     from tpu_asr.data import load_manifest
-    from tpu_asr.frontend import FrontendConfig, wav_to_features
+    from tpu_asr.frontend import (FrontendConfig, feature_fingerprint,
+                                  wav_to_features)
 
     utts = load_manifest(args.manifest)
     if args.limit:
         utts = utts[: args.limit]
     fcfg = FrontendConfig()
+    if args.frontend_json:
+        import dataclasses
+        import json
+        path = args.frontend_json
+        if os.path.isdir(path):
+            path = os.path.join(path, "frontend.json")
+        with open(path) as f:
+            d = json.load(f)
+        d["dtype"] = jnp.dtype(d["dtype"])
+        # CMVN policy fields describe how stats are APPLIED, not what the
+        # features are; accumulation always runs un-normalized.
+        fcfg = dataclasses.replace(
+            FrontendConfig(**d), cmvn_mode="none", cmvn_stats_path="")
     total = None
     total_sq = None
     n_frames = 0
@@ -79,7 +99,8 @@ def main():
     istd = 1.0 / np.sqrt(var)
     os.makedirs(os.path.dirname(os.path.abspath(args.out)), exist_ok=True)
     np.savez(args.out, mean=mean.astype(np.float32),
-             istd=istd.astype(np.float32), frames=np.int64(n_frames))
+             istd=istd.astype(np.float32), frames=np.int64(n_frames),
+             fingerprint=np.str_(feature_fingerprint(fcfg)))
     print(f"wrote {args.out}: {n_frames} frames, "
           f"mean[0]={mean[0]:.3f} istd[0]={istd[0]:.3f}", file=sys.stderr)
 

@@ -165,9 +165,10 @@ def test_global_cmvn_mode(tmp_path):
                                rtol=1e-5, atol=1e-5)
     # zero-padding preserved past the valid frames
     assert np.all(np.asarray(got)[0, n:] == 0.0)
-    m2, i2 = load_cmvn_stats(str(stats))
+    m2, i2, fp = load_cmvn_stats(str(stats))
     np.testing.assert_array_equal(m2, mean)
     np.testing.assert_array_equal(i2, istd)
+    assert fp is None                  # pre-fingerprint file: accepted
 
     # cmvn_mode=none leaves features raw
     ncfg = dataclasses.replace(base_cfg, cmvn_mode="none")
@@ -182,3 +183,37 @@ def test_global_cmvn_mode(tmp_path):
     ck.save_frontend(gcfg)
     back = ck.load_frontend()
     assert back == gcfg
+
+
+def test_global_cmvn_fingerprint_mismatch(tmp_path):
+    """Stats carrying a fingerprint from a DIFFERENT frontend are
+    rejected with a clear error instead of silently mis-normalizing
+    (ADVICE r3); a matching fingerprint is accepted."""
+    import dataclasses
+
+    import pytest
+
+    from tpu_asr.frontend import (FrontendConfig, feature_fingerprint,
+                                  wav_to_features)
+    rng = np.random.default_rng(1)
+    other = dataclasses.replace(FrontendConfig(), num_mel_bins=40)
+    stats = tmp_path / "cmvn40.npz"
+    np.savez(stats, mean=np.zeros(40, np.float32),
+             istd=np.ones(40, np.float32), frames=np.int64(10),
+             fingerprint=np.str_(feature_fingerprint(other)))
+    wav = (rng.standard_normal(4000) * 0.1).astype(np.float32)
+    gcfg = dataclasses.replace(FrontendConfig(), cmvn_mode="global",
+                               cmvn_stats_path=str(stats))
+    with pytest.raises(ValueError, match="different frontend"):
+        wav_to_features(jnp.asarray(wav[None]), jnp.asarray([len(wav)]),
+                        gcfg)
+
+    good = tmp_path / "cmvn80.npz"
+    np.savez(good, mean=np.zeros(80, np.float32),
+             istd=np.ones(80, np.float32), frames=np.int64(10),
+             fingerprint=np.str_(feature_fingerprint(FrontendConfig())))
+    gcfg2 = dataclasses.replace(FrontendConfig(), cmvn_mode="global",
+                                cmvn_stats_path=str(good))
+    out, _ = wav_to_features(jnp.asarray(wav[None]),
+                             jnp.asarray([len(wav)]), gcfg2)
+    assert np.isfinite(np.asarray(out)).all()

@@ -152,3 +152,99 @@ def test_ids_to_text():
     assert _ids_to_text([2, 3], ["<b>", "<u>", "x", "y"]) == "xy"
     assert _ids_to_text([9], ["a"]) == "<unk>"
     assert _ids_to_text([1, 2], None) is None
+
+
+def test_too_long_is_typed_exception():
+    """Over-long inputs raise UtteranceTooLong (the 413 mapping keys on
+    the type, not on a message substring — ADVICE r3)."""
+    from tpu_asr.serve import UtteranceTooLong
+    rec = FakeRecognizer()
+    s = _server(rec)
+    try:
+        with pytest.raises(UtteranceTooLong):
+            s.submit("feats", np.ones((100, 8), np.float32))
+        assert issubclass(UtteranceTooLong, ValueError)  # old catch works
+    finally:
+        s.stop()
+
+
+def test_timed_out_request_is_dropped_not_decoded():
+    """A request whose submitter timed out is skipped by the collector
+    instead of burning a batch slot on an abandoned decode (ADVICE r3)."""
+
+    class SlowRecognizer(FakeRecognizer):
+        def decode_batch_nbest(self, batch):
+            time.sleep(0.25)                 # let the queued one time out
+            return super().decode_batch_nbest(batch)
+
+    rec = SlowRecognizer()
+    s = _server(rec, window_ms=1.0)
+    try:
+        t1 = threading.Thread(
+            target=lambda: s.submit("feats", np.ones((5, 8), np.float32)))
+        t1.start()
+        time.sleep(0.05)                     # t1's batch is now decoding
+        with pytest.raises(TimeoutError):
+            s.submit("feats", np.ones((6, 8), np.float32), timeout=0.05)
+        t1.join(timeout=10)
+        time.sleep(0.5)                      # give the collector a beat
+        lens = sorted(int(l) for b in rec.batches
+                      for l in b["feat_lengths"] if int(l) > 0)
+        assert lens == [5], lens             # the abandoned 6-row never ran
+    finally:
+        s.stop()
+
+
+def test_stream_sessions_expired_and_concurrent():
+    """StreamSessions: a finished/expired id raises SessionExpired (no
+    silent hypothesis restart), and the decode runs outside the global
+    lock so independent sessions overlap (ADVICE r3)."""
+    from tpu_asr.serve import SessionExpired, StreamSessions
+
+    class FakeStreamRec:
+        gate = threading.Barrier(2, timeout=5.0)
+
+        def __init__(self, cfg, params, **kw):
+            self._tokens = []
+
+        def push(self, feats):
+            # both sessions must be in here at once to pass the barrier —
+            # impossible if push serializes under the global lock
+            FakeStreamRec.gate.wait()
+            self._tokens.append(1)
+            return [1]
+
+        def finish(self):
+            return list(self._tokens)
+
+    class _Cfg:
+        d_input = 8
+        model_type = "ctc"
+
+    ss = StreamSessions(_Cfg(), {}, beam=1)
+    ss._new_recognizer = lambda: FakeStreamRec(None, None)
+
+    outs = {}
+
+    def run(sid):
+        outs[sid] = ss.push(sid, np.ones((4, 8), np.float32))
+
+    threads = [threading.Thread(target=run, args=(f"s{i}",))
+               for i in range(2)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join(timeout=10)
+    assert outs["s0"]["new_tokens"] == [1] and outs["s1"]["new_tokens"] == [1]
+
+    # finish s0, then push again: explicit error, not a silent restart
+    final = ss.push("s0", np.zeros((0, 8), np.float32), final=True)
+    assert final["final"] and final["tokens"] == [1]
+    with pytest.raises(SessionExpired, match="finished"):
+        ss.push("s0", np.ones((4, 8), np.float32))
+
+    # idle-expire s1, then push again: same contract
+    ss.idle_timeout_s = 0.0
+    time.sleep(0.01)
+    with pytest.raises(SessionExpired, match="expired"):
+        ss.push("s1", np.ones((4, 8), np.float32))

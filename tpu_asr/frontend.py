@@ -205,22 +205,48 @@ def cmvn(
     return out
 
 
+def feature_fingerprint(cfg: FrontendConfig) -> str:
+    """Canonical string of every FrontendConfig field that changes the
+    feature space. Stored inside CMVN-stats .npz files so stats computed
+    under one frontend can't silently normalize features from another
+    (different n_mels / frame shift / window => different statistics)."""
+    return (f"sr={cfg.sample_rate};flen={cfg.frame_length_ms};"
+            f"fshift={cfg.frame_shift_ms};mels={cfg.num_mel_bins};"
+            f"lo={cfg.low_freq};hi={cfg.high_freq};"
+            f"preemph={cfg.preemphasis};win={cfg.window};"
+            f"log={cfg.use_log};floor={cfg.log_floor};dc={cfg.remove_dc}")
+
+
 @functools.lru_cache(maxsize=8)
-def load_cmvn_stats(path: str) -> tuple[np.ndarray, np.ndarray]:
-    """(mean [D], istd [D]) from an .npz written by bin/compute_cmvn.py.
+def load_cmvn_stats(
+        path: str) -> tuple[np.ndarray, np.ndarray, str | None]:
+    """(mean [D], istd [D], fingerprint-or-None) from an .npz written by
+    bin/compute_cmvn.py (fingerprint absent in pre-r4 files).
 
     Cached as NUMPY on purpose: a jnp constant created inside a jit trace
     would leak a tracer through the cache (frontend._frontend_constants
     bug class, fixed r3)."""
     with np.load(path) as z:
+        fp = str(z["fingerprint"]) if "fingerprint" in z else None
         return (np.asarray(z["mean"], np.float32),
-                np.asarray(z["istd"], np.float32))
+                np.asarray(z["istd"], np.float32), fp)
 
 
 def apply_global_cmvn(feats: jnp.ndarray, cfg: FrontendConfig) -> jnp.ndarray:
-    """Normalize with precomputed train-set stats (Kaldi apply-cmvn)."""
+    """Normalize with precomputed train-set stats (Kaldi apply-cmvn).
+
+    Rejects stats whose stored frontend fingerprint doesn't match the
+    active config (ADVICE r3: stats computed with default features would
+    otherwise silently mis-normalize a non-default frontend)."""
     assert cfg.cmvn_stats_path, "cmvn_mode=global needs cmvn_stats_path"
-    mean, istd = load_cmvn_stats(cfg.cmvn_stats_path)
+    mean, istd, fp = load_cmvn_stats(cfg.cmvn_stats_path)
+    want = feature_fingerprint(cfg)
+    if fp is not None and fp != want:
+        raise ValueError(
+            f"CMVN stats {cfg.cmvn_stats_path} were computed under a "
+            f"different frontend:\n  stats:  {fp}\n  active: {want}\n"
+            f"recompute with bin/compute_cmvn.py using the matching "
+            f"frontend (--frontend-json)")
     return (feats - jnp.asarray(mean)) * jnp.asarray(istd)
 
 

@@ -32,6 +32,16 @@ import time
 import numpy as np
 
 
+class UtteranceTooLong(ValueError):
+    """Input exceeds the longest configured frame bucket (HTTP 413)."""
+
+
+class SessionExpired(ValueError):
+    """Push for a stream session that already finished or was idle-GC'd
+    (HTTP 410) — the alternative, silently restarting the hypothesis
+    mid-stream, would corrupt the client's transcript."""
+
+
 @dataclasses.dataclass
 class _Request:
     kind: str                      # "feats" | "wav"
@@ -41,6 +51,9 @@ class _Request:
     event: threading.Event = dataclasses.field(default_factory=threading.Event)
     result: list | None = None
     error: str | None = None
+    cancelled: bool = False        # submitter gave up (timeout): the
+    #                                collector drops it instead of burning
+    #                                a batch row on an abandoned decode
 
 
 class AsrServer:
@@ -127,13 +140,14 @@ class AsrServer:
             raise ValueError("empty utterance")
         bucket = self._bucket_for(frames)
         if bucket is None:
-            raise ValueError(
+            raise UtteranceTooLong(
                 f"utterance is ~{frames} frames; longest bucket is "
                 f"{self.bucket_frames[-1]} (split the audio or restart the "
                 f"server with larger --bucket-frames)")
         req = _Request(kind=kind, data=data, bucket=bucket, nbest=nbest)
         self._q.put(req)
         if not req.event.wait(timeout):
+            req.cancelled = True
             raise TimeoutError("decode timed out")
         if req.error is not None:
             raise RuntimeError(req.error)
@@ -163,7 +177,10 @@ class AsrServer:
                 groups.setdefault((r.kind, r.bucket), []).append(r)
             for (kind, bucket), reqs in groups.items():
                 for s in range(0, len(reqs), self.batch_size):
-                    chunk = reqs[s: s + self.batch_size]
+                    chunk = [r for r in reqs[s: s + self.batch_size]
+                             if not r.cancelled]
+                    if not chunk:
+                        continue
                     try:
                         self._decode_group(kind, bucket, chunk)
                     except Exception as e:  # surface, don't kill the loop
@@ -217,8 +234,18 @@ class StreamSessions:
         self.cfg, self.params = cfg, params
         self.beam, self.max_frames = beam, max_frames
         self.idle_timeout_s = idle_timeout_s
-        self._sessions: dict[str, tuple[object, float]] = {}
+        # session -> [recognizer, per-session lock, last-touch ts].
+        # The global lock guards only the session map and the closed-id
+        # ring; the per-session lock serializes that session's decode so
+        # independent /stream sessions overlap (ADVICE r3).
+        self._sessions: dict[str, list] = {}
         self._lock = threading.Lock()
+        # ids that finished or idle-expired: a late push gets an explicit
+        # SessionExpired instead of a silently restarted hypothesis.
+        # Bounded ring (an OrderedDict-as-LRU) so it can't grow forever.
+        from collections import OrderedDict
+        self._closed: OrderedDict[str, str] = OrderedDict()
+        self._closed_cap = 4096
 
     def _new_recognizer(self):
         from tpu_asr.decode.streaming import (StreamingCTCBeamRecognizer,
@@ -234,45 +261,64 @@ class StreamSessions:
         return StreamingCTCRecognizer(self.cfg, self.params,
                                       max_frames=self.max_frames)
 
+    def _close(self, session_id: str, reason: str):
+        """Caller holds self._lock."""
+        self._sessions.pop(session_id, None)
+        self._closed[session_id] = reason
+        self._closed.move_to_end(session_id)
+        while len(self._closed) > self._closed_cap:
+            self._closed.popitem(last=False)
+
     def _gc(self, now: float):
-        dead = [k for k, (_, ts) in self._sessions.items()
+        """Caller holds self._lock."""
+        dead = [k for k, (_, _, ts) in self._sessions.items()
                 if now - ts > self.idle_timeout_s]
         for k in dead:
-            del self._sessions[k]
+            self._close(k, "expired")
 
     def push(self, session_id: str, feats: np.ndarray,
              final: bool = False) -> dict:
         """feats: [t, d_input] newly-arrived frames (may be empty with
-        final=True to flush). Returns {'new_tokens', 'tokens', 'final'}."""
+        final=True to flush). Returns {'new_tokens', 'tokens', 'final'}.
+
+        Raises SessionExpired for an id that already finished or
+        idle-expired. The global lock covers only map lookup/GC; the
+        decode runs under the per-session lock, so concurrent sessions
+        don't serialize behind each other's device work."""
         now = time.monotonic()
         with self._lock:
             self._gc(now)
             entry = self._sessions.get(session_id)
             if entry is None:
-                entry = (self._new_recognizer(), now)
-            rec = entry[0]
-            self._sessions[session_id] = (rec, now)
+                if session_id in self._closed:
+                    raise SessionExpired(
+                        f"session {session_id!r} already "
+                        f"{self._closed[session_id]}; start a new session "
+                        f"id (partial hypothesis was discarded)")
+                entry = [self._new_recognizer(), threading.Lock(), now]
+                self._sessions[session_id] = entry
+            entry[2] = now
+        rec, slock = entry[0], entry[1]
+        with slock:
             feats = np.asarray(feats, np.float32).reshape(-1,
                                                           self.cfg.d_input)
             new = rec.push(feats) if feats.shape[0] else []
             if final:
                 tokens = rec.finish()
                 resp = {"new_tokens": new, "tokens": tokens, "final": True}
-                if hasattr(rec, "hypothesis_times"):
-                    resp["times"] = rec.hypothesis_times
-                if hasattr(rec, "hypothesis_confidence"):
-                    resp["confidence"] = rec.hypothesis_confidence
-                del self._sessions[session_id]
-                return resp
-            cur = (list(rec._tokens) if hasattr(rec, "_tokens")
-                   else rec.hypothesis if hasattr(rec, "hypothesis")
-                   else None)
-            resp = {"new_tokens": new, "tokens": cur, "final": False}
+            else:
+                cur = (list(rec._tokens) if hasattr(rec, "_tokens")
+                       else rec.hypothesis if hasattr(rec, "hypothesis")
+                       else None)
+                resp = {"new_tokens": new, "tokens": cur, "final": False}
             if hasattr(rec, "hypothesis_times"):
                 resp["times"] = rec.hypothesis_times
             if hasattr(rec, "hypothesis_confidence"):
                 resp["confidence"] = rec.hypothesis_confidence
-            return resp
+        if final:
+            with self._lock:
+                self._close(session_id, "finished")
+        return resp
 
     @property
     def n_active(self) -> int:
@@ -349,9 +395,10 @@ def make_http_server(host: str, port: int, server: AsrServer,
             try:
                 nb = server.submit(kind, np.asarray(req[kind], np.float32),
                                    nbest=int(req.get("nbest", 1)))
+            except UtteranceTooLong as e:
+                return self._json(413, {"error": str(e)})
             except ValueError as e:
-                return self._json(413 if "bucket" in str(e) else 400,
-                                  {"error": str(e)})
+                return self._json(400, {"error": str(e)})
             except TimeoutError as e:
                 return self._json(503, {"error": str(e)})
             except Exception as e:
@@ -373,6 +420,8 @@ def make_http_server(host: str, port: int, server: AsrServer,
             try:
                 out = streams.push(sid, req.get("feats", []),
                                    final=bool(req.get("final", False)))
+            except SessionExpired as e:
+                return self._json(410, {"error": str(e), "expired": True})
             except Exception as e:
                 return self._json(500, {"error": str(e)})
             if out.get("tokens") is not None:
