@@ -29,6 +29,18 @@ def parse_args():
     p.add_argument("--synthetic", type=int, default=0)
     p.add_argument("--vocab-size", type=int, default=64,
                    help="synthetic mode vocab")
+    p.add_argument("--seed", type=int, default=0,
+                   help="synthetic mode RNG seed (distinct seeds give "
+                        "disjoint train/dev corpora)")
+    p.add_argument("--noise", type=float, default=0.01,
+                   help="synthetic mode additive-noise sigma (task "
+                        "difficulty knob for held-out evals)")
+    p.add_argument("--text-dist", default="uniform",
+                   choices=["uniform", "markov"],
+                   help="synthetic transcript distribution; markov draws "
+                        "from a fixed bigram language (seeded separately "
+                        "from --seed) so an external LM has structure to "
+                        "learn")
     p.add_argument("--dict", dest="dict_path")
     p.add_argument("--dict-out")
     p.add_argument("--out", required=True, help="manifest path (.jsonl)")
@@ -45,7 +57,9 @@ def main():
     if args.synthetic:
         from tpu_asr.data.synthetic import write_synthetic_manifest
         utts = write_synthetic_manifest(args.out, args.synthetic,
-                                        args.vocab_size)
+                                        args.vocab_size, seed=args.seed,
+                                        noise=args.noise,
+                                        text=args.text_dist)
         print(f"wrote {len(utts)} synthetic utts -> {args.out}")
         return
 

@@ -61,6 +61,10 @@ def parse_args():
                         "if unset, 0 = full context)")
     p.add_argument("--enc-left-chunks", type=int, default=-2,
                    help="bounded left context in chunks (-1 = unlimited)")
+    p.add_argument("--no-specaug", action="store_true",
+                   help="disable SpecAugment even if the preset enables "
+                        "it (e.g. narrowband/synthetic data where "
+                        "frequency masks remove the class signal)")
     p.add_argument("--specaug-warp", type=int, default=-1,
                    help="SpecAugment time-warp window W (0 = masking only, "
                         "the reference behavior; -1 = preset default)")
@@ -125,6 +129,8 @@ def main():
         tc = dataclasses.replace(tc, lr_k=args.lr_k)
     if args.print_freq:
         tc = dataclasses.replace(tc, print_freq=args.print_freq)
+    if args.no_specaug:
+        tc = dataclasses.replace(tc, specaug=None)
     if args.specaug_warp >= 0 and tc.specaug is not None:
         tc = dataclasses.replace(tc, specaug=dataclasses.replace(
             tc.specaug, time_warp_window=args.specaug_warp))

@@ -25,6 +25,20 @@ def token_wave(token: int, num_tokens: int, dur: int, sr: int,
     return (env * wave).astype(np.float32)
 
 
+def markov_transitions(vocab_size: int, text_seed: int = 1234,
+                       alpha: float = 0.15) -> np.ndarray:
+    """Fixed sparse bigram transition matrix over the usable token range
+    [2, vocab_size-2). Seeded independently of the corpus seed so
+    train/dev corpora drawn with different seeds share ONE language —
+    which is what makes an external LM learnable and shallow fusion
+    measurable on held-out data."""
+    rng = np.random.default_rng(text_seed)
+    n = vocab_size - 4
+    trans = rng.dirichlet(np.full(n, alpha), size=n)
+    init = rng.dirichlet(np.full(n, alpha))
+    return init, trans
+
+
 def make_synthetic_dataset(
     n_utts: int,
     vocab_size: int,
@@ -33,20 +47,36 @@ def make_synthetic_dataset(
     tone_ms: int = 120,
     sample_rate: int = 16000,
     seed: int = 0,
+    noise: float = 0.01,
+    text: str = "uniform",
+    text_seed: int = 1234,
     out_dir: str | None = None,
 ):
     """Returns (utterances, waves dict id->float32 wav). Token ids are drawn
-    from [2, vocab_size-2) (0=blank, 1=unk, last two sos/eos)."""
+    from [2, vocab_size-2) (0=blank, 1=unk, last two sos/eos); with
+    text="markov" they follow the fixed bigram language of
+    ``markov_transitions(vocab_size, text_seed)``."""
     rng = np.random.default_rng(seed)
     dur = int(tone_ms * sample_rate / 1000)
+    if text == "markov":
+        init, trans = markov_transitions(vocab_size, text_seed)
+    else:
+        assert text == "uniform", text
     utts, waves = [], {}
     for i in range(n_utts):
         n = int(rng.integers(min_tokens, max_tokens + 1))
-        tokens = rng.integers(2, vocab_size - 2, n).tolist()
+        if text == "markov":
+            tok = int(rng.choice(len(init), p=init))
+            tokens = [tok + 2]
+            for _ in range(n - 1):
+                tok = int(rng.choice(len(init), p=trans[tok]))
+                tokens.append(tok + 2)
+        else:
+            tokens = rng.integers(2, vocab_size - 2, n).tolist()
         wav = np.concatenate(
             [token_wave(t, vocab_size, dur, sample_rate, rng)
              for t in tokens])
-        wav = wav + 0.01 * rng.standard_normal(len(wav)).astype(np.float32)
+        wav = wav + noise * rng.standard_normal(len(wav)).astype(np.float32)
         uid = f"synth{i:06d}"
         path = None
         if out_dir is not None:
