@@ -61,6 +61,10 @@ def parse_args():
                         "if unset, 0 = full context)")
     p.add_argument("--enc-left-chunks", type=int, default=-2,
                    help="bounded left context in chunks (-1 = unlimited)")
+    p.add_argument("--dtype", default="", choices=["", "bf16", "f32"],
+                   help="override the preset's activation dtype")
+    p.add_argument("--pallas-ctc", type=int, default=-1, choices=[-1, 0, 1],
+                   help="override the preset's Pallas-CTC-loss switch")
     p.add_argument("--no-specaug", action="store_true",
                    help="disable SpecAugment even if the preset enables "
                         "it (e.g. narrowband/synthetic data where "
@@ -131,6 +135,14 @@ def main():
         tc = dataclasses.replace(tc, print_freq=args.print_freq)
     if args.no_specaug:
         tc = dataclasses.replace(tc, specaug=None)
+    if args.dtype:
+        import jax.numpy as jnp
+        tc = dataclasses.replace(tc, model=dataclasses.replace(
+            tc.model, dtype={"bf16": jnp.bfloat16,
+                             "f32": jnp.float32}[args.dtype]))
+    if args.pallas_ctc in (0, 1):
+        tc = dataclasses.replace(tc, model=dataclasses.replace(
+            tc.model, pallas_ctc=bool(args.pallas_ctc)))
     if args.specaug_warp >= 0 and tc.specaug is not None:
         tc = dataclasses.replace(tc, specaug=dataclasses.replace(
             tc.specaug, time_warp_window=args.specaug_warp))

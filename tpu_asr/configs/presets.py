@@ -132,6 +132,18 @@ PRESETS: dict[str, TrainConfig] = {
         epochs=30, warmup_steps=100, lr_k=1.0, batch_frames=8000,
         num_buckets=2, decode_mode="transducer_greedy",
         beam=BeamConfig(beam=1, max_len=24)),
+    # CPU-runnable conformer-transducer slice: the conv module + rel-pos
+    # attention make the tiny transducer converge far faster than the
+    # vanilla encoder at the same budget (e2e fixtures use this)
+    "conformer_transducer_dev": TrainConfig(
+        model=dataclasses.replace(
+            _BASE, model_type="transducer", ctc_weight=0.3, d_model=64,
+            d_inner=128, num_heads=2, num_enc_layers=2, num_pred_layers=1,
+            d_joint=64, dropout=0.0, encoder_type="conformer",
+            conv_kernel=7),
+        epochs=30, warmup_steps=100, lr_k=1.0, batch_frames=8000,
+        num_buckets=2, decode_mode="transducer_greedy",
+        beam=BeamConfig(beam=1, max_len=24)),
     "transducer": TrainConfig(
         model=dataclasses.replace(_BASE, model_type="transducer",
                                   ctc_weight=0.3, num_pred_layers=2,
