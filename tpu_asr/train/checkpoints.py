@@ -93,6 +93,14 @@ class Checkpointer:
     def save(self, state, epoch: int = 0, cv_loss: float = 0.0,
              is_best: bool = False) -> None:
         step = int(state.step)
+        # At most ONE save in flight: drain the previous async save before
+        # starting the next. Orbax 0.11's internal blocking path can
+        # double-finalize a backed-up save (observed on the 1-core box as
+        # FileNotFoundError renaming <step>.orbax-checkpoint-tmp/meta at
+        # finalize time, crashing a long TPU run mid-training). The save
+        # still overlaps the NEXT epoch's compute; only the following
+        # save() blocks.
+        self.manager.wait_until_finished()
         meta = {"epoch": epoch, "cv_loss": float(cv_loss),
                 "is_best": bool(is_best)}
         if is_best:
