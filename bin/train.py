@@ -118,6 +118,12 @@ def main():
         overrides["enc_chunk_size"] = args.enc_chunk_size
     if args.enc_left_chunks >= -1:
         overrides["enc_left_chunks"] = args.enc_left_chunks
+    if args.dtype:
+        import jax.numpy as jnp
+        overrides["dtype"] = {"bf16": jnp.bfloat16,
+                              "f32": jnp.float32}[args.dtype]
+    if args.pallas_ctc in (0, 1):
+        overrides["pallas_ctc"] = bool(args.pallas_ctc)
     mc = dataclasses.replace(tc.model, **overrides)
     if args.epochs:
         tc = dataclasses.replace(tc, epochs=args.epochs)
@@ -135,14 +141,6 @@ def main():
         tc = dataclasses.replace(tc, print_freq=args.print_freq)
     if args.no_specaug:
         tc = dataclasses.replace(tc, specaug=None)
-    if args.dtype:
-        import jax.numpy as jnp
-        tc = dataclasses.replace(tc, model=dataclasses.replace(
-            tc.model, dtype={"bf16": jnp.bfloat16,
-                             "f32": jnp.float32}[args.dtype]))
-    if args.pallas_ctc in (0, 1):
-        tc = dataclasses.replace(tc, model=dataclasses.replace(
-            tc.model, pallas_ctc=bool(args.pallas_ctc)))
     if args.specaug_warp >= 0 and tc.specaug is not None:
         tc = dataclasses.replace(tc, specaug=dataclasses.replace(
             tc.specaug, time_warp_window=args.specaug_warp))
