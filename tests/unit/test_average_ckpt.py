@@ -34,6 +34,7 @@ def _make_state(seed):
     return TrainState.create(variables["params"], tx, jax.random.PRNGKey(0))
 
 
+@pytest.mark.slow
 def test_average_checkpoints(tmp_path):
     src_dir = str(tmp_path / "src")
     ck = Checkpointer(src_dir)

@@ -3,6 +3,7 @@ forced down, the bench must still print the driver-expected JSON line
 carrying a real torch-CPU baseline and the last-known-good TPU numbers
 tagged stale — never a bare zero, never a hang."""
 
+import pytest
 import json
 import os
 import subprocess
@@ -33,6 +34,7 @@ def test_probe_backend_bad_interpreter_is_zero(monkeypatch):
     assert backend_probe.probe_backend(timeout_s=5.0) == 0
 
 
+@pytest.mark.slow
 def test_bench_outage_json_carries_baseline_and_stale(tmp_path):
     lastgood = tmp_path / "lastgood.json"
     lastgood.write_text(json.dumps({

@@ -110,6 +110,7 @@ def test_conformer_under_hybrid_and_transducer():
         assert np.isfinite(gn) and gn > 0, mt
 
 
+@pytest.mark.slow
 def test_conformer_trains_down():
     from tpu_asr.train import TrainState, make_optimizer
     from tpu_asr.train.loop import make_train_step

@@ -160,6 +160,7 @@ def oracle_fused_beam(logp, beam, lm_next, lm_weight, blank=0):
                    key=lambda kv: -(_lae(*kv[1]) + lm_score(kv[0])))]
 
 
+@pytest.mark.slow
 def test_lm_fusion_matches_host_oracle():
     """Fused CTC prefix beam (compiled lax.scan with in-carry LM caches)
     == the host fusion oracle: same 1-best prefixes and fused scores,
@@ -203,6 +204,7 @@ def test_lm_fusion_matches_host_oracle():
     assert changed, "LM weight 0.7 should alter at least one 1-best"
 
 
+@pytest.mark.slow
 def test_lm_fusion_streaming_equals_offline():
     """StreamingCTCBeamRecognizer with shallow fusion: the fused beam
     state (LM scores, next-token log-probs, K/V caches) rides the

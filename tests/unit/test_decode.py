@@ -306,6 +306,7 @@ def test_attn_rescore_matches_host_rescoring(rng):
     assert checked >= enc_out.shape[0]             # at least 1-best each
 
 
+@pytest.mark.slow
 def test_mesh_decode_equals_single_device():
     """Data-parallel decode (Recognizer mesh=...) must return the SAME
     hypotheses and scores as single-device decode: decode is purely

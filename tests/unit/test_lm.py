@@ -74,6 +74,7 @@ def test_lm_config_sidecar_roundtrip(tmp_path):
     assert got == LM_CFG
 
 
+@pytest.mark.slow
 def test_lm_trains_down(rng):
     """A few Adam steps on a tiny repetitive corpus reduce CE loss."""
     import optax

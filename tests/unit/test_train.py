@@ -236,6 +236,7 @@ def _accum_setup():
     return cfg, model, variables["params"], (feats, flens, ys, yls)
 
 
+@pytest.mark.slow
 def test_grad_accumulation_averaging_exact():
     """Half-batch grads average to the full-batch grad exactly (mean
     losses) — the numerical premise of optax.MultiSteps accumulation."""
