@@ -111,6 +111,10 @@ def main():
         print("note: per-utterance CMVN is non-causal; train with "
               "--cmvn global (bin/compute_cmvn.py) for true streaming",
               file=sys.stderr)
+    if fcfg.add_pitch and cfg.enc_chunk_size > 0:
+        print("note: pitch normalization is utterance-level (non-causal); "
+              "this demo computes features offline — train without --pitch "
+              "for true streaming", file=sys.stderr)
     total_err, total_ref, lags = 0, 0, []
     t_wall, n_decoded = 0.0, 0
     for utt in utts:

@@ -79,6 +79,11 @@ def parse_args():
                         "choice for streaming), or none")
     p.add_argument("--cmvn-stats", default="",
                    help=".npz from bin/compute_cmvn.py (with --cmvn global)")
+    p.add_argument("--pitch", action="store_true",
+                   help="append 3 Kaldi-style pitch dims (POV, normalized "
+                        "log-pitch, delta-pitch) to the fbank — the "
+                        "reference recipe family's fbank+pitch features "
+                        "(wav-mode/on-device frontend only)")
     p.add_argument("--prng-impl", default="rbg",
                    help="PRNG for dropout/specaug; rbg is ~1.5x faster "
                         "train steps on TPU than threefry")
@@ -151,6 +156,11 @@ def main():
             tc.frontend, cmvn_mode=args.cmvn,
             cmvn_stats_path=os.path.abspath(args.cmvn_stats)
             if args.cmvn_stats else ""))
+    if args.pitch:
+        # Kaldi "fbank+pitch": 3 pitch dims pasted onto the fbank
+        # (reference recipe family's feature-extraction stage).
+        tc = dataclasses.replace(tc, frontend=dataclasses.replace(
+            tc.frontend, add_pitch=True))
 
     if args.synthetic:
         from tpu_asr.data.synthetic import make_synthetic_dataset
@@ -177,6 +187,13 @@ def main():
         scale = tc.frontend.frame_shift if wav_mode else 1
         sample_cap = tc.max_frames_cap * scale
         batch_budget = tc.batch_frames * scale
+
+    if mode == "wav" and mc.d_input != tc.frontend.feature_dim:
+        # keep the config's metadata dim honest when the on-device
+        # frontend decides the feature dim (e.g. add_pitch -> mels+3):
+        # streaming buffers, serve validation, and torch export read it
+        # (the flax modules themselves infer dims from the init batch)
+        mc = dataclasses.replace(mc, d_input=tc.frontend.feature_dim)
 
     n_dev = args.num_devices or len(jax.devices())
     buckets = make_buckets(

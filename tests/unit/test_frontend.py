@@ -217,3 +217,82 @@ def test_global_cmvn_fingerprint_mismatch(tmp_path):
     out, _ = wav_to_features(jnp.asarray(wav[None]),
                              jnp.asarray([len(wav)]), gcfg2)
     assert np.isfinite(np.asarray(out)).all()
+
+
+# ---- pitch features (Kaldi fbank+pitch capability; frontend.pitch_features)
+
+PCFG = F.FrontendConfig(add_pitch=True)
+
+
+def test_pitch_recovers_pure_tone_f0(rng):
+    # NCCF on a clean periodic signal must find the true lag: 220 Hz at
+    # 16 kHz is a NON-integer lag (72.7 samples), so this also exercises
+    # the parabolic sub-lag refinement.
+    sr = PCFG.sample_rate
+    t = np.arange(sr) / sr  # 1 s
+    for f0 in (110.0, 220.0, 330.0):
+        wav = np.sin(2 * np.pi * f0 * t).astype(np.float32)
+        n_fr = PCFG.num_frames(sr)
+        out = np.asarray(F.pitch_features(
+            jnp.asarray(wav)[None], jnp.asarray([n_fr]), PCFG))[0]
+        pov, norm_lp, delta = out[..., 0], out[..., 1], out[..., 2]
+        assert pov.shape == (n_fr,)
+        assert (pov > 0.9).mean() > 0.95, f"low POV on pure {f0} Hz tone"
+        # recover absolute f0 from the weighted-mean decomposition:
+        # norm_lp = log f0 - mean => per-frame f0 must all be ~f0, so the
+        # spread of norm_lp is tiny and the implied f0 matches.
+        w = pov**2
+        mean_lp = np.log(sr / (sr / f0))  # = log f0
+        # invert: log_f0[t] = norm_lp[t] + weighted_mean(log_f0)
+        # weighted mean is within a hair of log f0 when every frame is f0
+        assert np.abs(norm_lp).max() < 0.02
+        assert np.abs(delta).max() < 0.02
+
+
+def test_pitch_pov_low_on_noise(rng):
+    wav = rng.standard_normal(16000).astype(np.float32)
+    n_fr = PCFG.num_frames(16000)
+    out = np.asarray(F.pitch_features(
+        jnp.asarray(wav)[None], jnp.asarray([n_fr]), PCFG))[0]
+    tone = np.sin(2 * np.pi * 200.0 * np.arange(16000) / 16000)
+    tout = np.asarray(F.pitch_features(
+        jnp.asarray(tone.astype(np.float32))[None],
+        jnp.asarray([n_fr]), PCFG))[0]
+    # white noise has far weaker periodicity evidence than a tone
+    assert out[..., 0].mean() < 0.6
+    assert out[..., 0].mean() < tout[..., 0].mean() - 0.3
+
+
+def test_pitch_step_change_shows_in_delta():
+    sr = PCFG.sample_rate
+    t = np.arange(sr) / sr
+    half = sr // 2
+    wav = np.concatenate([np.sin(2 * np.pi * 150 * t[:half]),
+                          np.sin(2 * np.pi * 300 * t[:half])]).astype(np.float32)
+    n_fr = PCFG.num_frames(sr)
+    out = np.asarray(F.pitch_features(
+        jnp.asarray(wav)[None], jnp.asarray([n_fr]), PCFG))[0]
+    norm_lp = out[..., 1]
+    # frames well inside each half sit on opposite sides of the weighted mean
+    a = norm_lp[5:20].mean()
+    b = norm_lp[-20:-5].mean()
+    assert b - a > 0.5  # log(300/150) = 0.69 split across the mean
+
+
+def test_wav_to_features_with_pitch_shape_and_masking(rng):
+    wav = rng.standard_normal((2, 8000)).astype(np.float32)
+    lens = np.array([8000, 4000], np.int32)
+    feats, flens = F.wav_to_features(jnp.asarray(wav), jnp.asarray(lens), PCFG)
+    assert PCFG.feature_dim == 83
+    assert feats.shape == (2, PCFG.num_frames(8000), 83)
+    # padding frames zeroed across ALL dims including pitch
+    assert np.all(np.asarray(feats)[1, int(flens[1]):] == 0.0)
+
+
+def test_pitch_fingerprint_and_sidecar_roundtrip(tmp_path):
+    assert F.feature_fingerprint(PCFG) != F.feature_fingerprint(CFG)
+    from tpu_asr.train.checkpoints import Checkpointer
+    ck = Checkpointer(str(tmp_path))
+    ck.save_frontend(PCFG)
+    got = ck.load_frontend()
+    assert got.add_pitch and got.feature_dim == 83

@@ -50,6 +50,13 @@ class FrontendConfig:
     # streaming, where per-utterance stats would peek at future frames.
     cmvn_mode: str = "utterance"  # utterance | global | none
     cmvn_stats_path: str = ""
+    # Pitch (reference recipe family: Kaldi "fbank+pitch" pastes 3 pitch
+    # dims — POV, normalized log-pitch, delta-pitch — onto the fbank;
+    # egs/aishell/run.sh feature-extraction stage). Off by default:
+    # BASELINE.json pins 80-dim log-mel only. See `pitch_features`.
+    add_pitch: bool = False
+    pitch_min_f0: float = 60.0
+    pitch_max_f0: float = 400.0
 
     @property
     def frame_length(self) -> int:
@@ -71,6 +78,11 @@ class FrontendConfig:
         if num_samples < self.frame_length:
             return 0
         return 1 + (num_samples - self.frame_length) // self.frame_shift
+
+    @property
+    def feature_dim(self) -> int:
+        """Per-frame output dim of wav_to_features (mel bins + pitch)."""
+        return self.num_mel_bins + (3 if self.add_pitch else 0)
 
 
 def _window_coeffs(cfg: FrontendConfig) -> np.ndarray:
@@ -205,16 +217,143 @@ def cmvn(
     return out
 
 
+@functools.lru_cache(maxsize=8)
+def _pitch_constants(cfg: FrontendConfig):
+    """Lag range + DFT bases for the per-frame NCCF cross-correlation.
+
+    numpy (not jnp) for the same tracer-leak reason as
+    `_frontend_constants`. The correlation r[l] = sum_i x[i]*x[i+l] for
+    every lag l in one shot rides the MXU as three matmuls: DFT of the
+    n-sample frame, DFT of the (n+max_lag+1)-sample segment, and an
+    inverse-DFT projection onto just the lag taps we need — O(T*seg*K)
+    instead of the O(T*n_lags*n) of direct correlation.
+    """
+    min_lag = max(2, int(cfg.sample_rate / cfg.pitch_max_f0))
+    max_lag = int(math.ceil(cfg.sample_rate / cfg.pitch_min_f0))
+    n = cfg.frame_length
+    seg = n + max_lag + 2          # +2: parabolic neighbor at max_lag+1
+    k = seg // 2 + 1               # real-DFT bins (any length works for
+    #                                an explicit-basis DFT; no pow2 pad)
+    i = np.arange(seg, dtype=np.float64)
+    kk = np.arange(k, dtype=np.float64)
+    ang = 2.0 * math.pi * i[:, None] * kk[None, :] / seg
+    cos_b, sin_b = np.cos(ang), np.sin(ang)
+    # Inverse basis onto lags 0..max_lag+1, real-part weights folded
+    # (w=1 for k=0 and the Nyquist bin when seg is even, else 2).
+    w = np.full(k, 2.0)
+    w[0] = 1.0
+    if seg % 2 == 0:
+        w[-1] = 1.0
+    lags = np.arange(max_lag + 2, dtype=np.float64)
+    lang = 2.0 * math.pi * lags[:, None] * kk[None, :] / seg
+    inv_cos = (np.cos(lang) * w[None, :] / seg).T   # [K, n_lags]
+    inv_sin = (np.sin(lang) * w[None, :] / seg).T
+    f32 = np.float32
+    return (min_lag, max_lag,
+            cos_b[:n].astype(f32), sin_b[:n].astype(f32),   # frame DFT
+            cos_b.astype(f32), sin_b.astype(f32),           # segment DFT
+            inv_cos.astype(f32), inv_sin.astype(f32))
+
+
+def pitch_features(
+    wav: jnp.ndarray,
+    frame_lengths: jnp.ndarray | None,
+    cfg: FrontendConfig,
+) -> jnp.ndarray:
+    """[..., S] waveform -> [..., T, 3] pitch features (POV, normalized
+    log-pitch, delta-pitch), the three dims Kaldi's
+    compute-and-process-kaldi-pitch-feats pastes onto fbank in the
+    reference recipe family (egs/aishell run.sh "fbank+pitch" stage).
+
+    Simplified vs Kaldi (documented, capability-parity not bit-parity):
+    per-frame argmax-NCCF with parabolic lag interpolation instead of the
+    Viterbi lag tracker, and utterance-level POV^2-weighted log-pitch mean
+    instead of the 151-frame sliding window. Batched, statically shaped,
+    every heavy op a matmul; an offline feature like per-utterance CMVN
+    (the normalization peeks at the whole utterance — streaming paths
+    keep add_pitch off).
+    """
+    (min_lag, max_lag, fcos, fsin, scos, ssin, icos, isin) = \
+        _pitch_constants(cfg)
+    n, shift = cfg.frame_length, cfg.frame_shift
+    seg_len = scos.shape[0]
+    s = wav.shape[-1]
+    t = cfg.num_frames(s)
+    starts = np.arange(t) * shift
+    raw = starts[:, None] + np.arange(seg_len)[None, :]
+    seg = wav.astype(jnp.float32)[..., np.minimum(raw, s - 1)]  # [..., T, seg]
+    seg = seg - jnp.mean(seg[..., :n], axis=-1, keepdims=True)
+    # Zero (don't edge-repeat) the part of the tail that runs past the
+    # signal: a constant tail fakes long-lag periodicity on final frames.
+    seg = seg * (raw < s).astype(seg.dtype)
+    frame = seg[..., :n]
+    hi = jax.lax.Precision.HIGHEST
+    a_re = jnp.einsum("...tl,lk->...tk", frame, fcos, precision=hi)
+    a_im = jnp.einsum("...tl,lk->...tk", frame, fsin, precision=hi)
+    b_re = jnp.einsum("...tl,lk->...tk", seg, scos, precision=hi)
+    b_im = jnp.einsum("...tl,lk->...tk", seg, ssin, precision=hi)
+    # conj(A)*B, then inverse-DFT real part at lags 0..max_lag+1. The
+    # frame DFT uses e^{+j} bases, so conj(A)_k = sum_i x_i e^{-j...}:
+    # with both bases positive-angle, Re/Im of conj(A)B are:
+    c_re = a_re * b_re + a_im * b_im
+    c_im = a_re * b_im - a_im * b_re
+    r = (jnp.einsum("...tk,kl->...tl", c_re, icos, precision=hi)
+         + jnp.einsum("...tk,kl->...tl", c_im, isin, precision=hi))
+    # Energy of every lag-shifted window via cumsum-of-squares.
+    csum = jnp.cumsum(seg * seg, axis=-1)
+    ends = np.arange(max_lag + 2) + n - 1             # lag window ends
+    e2 = jnp.take(csum, ends, axis=-1)
+    lo = jnp.take(csum, np.maximum(np.arange(max_lag + 2) - 1, 0), axis=-1)
+    e2 = e2 - jnp.where(np.arange(max_lag + 2)[None, :] == 0, 0.0, lo)
+    e1 = e2[..., :1]
+    nccf = r / (jnp.sqrt(jnp.maximum(e1 * e2, 0.0)) + 1e-4 * n)
+    # Peak over the valid lag range. A periodic signal scores ~equally at
+    # every integer multiple of its period (subharmonic ambiguity; Kaldi
+    # resolves it with a Viterbi lag tracker) — take the SHORTEST lag
+    # within a small threshold of the peak, then refine parabolically.
+    band = nccf[..., min_lag:max_lag + 1]
+    peak = jnp.max(band, axis=-1, keepdims=True)
+    best = jnp.argmax(band >= peak - 0.025, axis=-1) + min_lag  # [..., T]
+    y0 = jnp.take_along_axis(nccf, best[..., None], axis=-1)[..., 0]
+    ym = jnp.take_along_axis(nccf, best[..., None] - 1, axis=-1)[..., 0]
+    yp = jnp.take_along_axis(nccf, best[..., None] + 1, axis=-1)[..., 0]
+    denom = ym - 2.0 * y0 + yp
+    off = jnp.where(jnp.abs(denom) > 1e-12,
+                    0.5 * (ym - yp) / denom, 0.0)
+    off = jnp.clip(off, -0.5, 0.5)
+    lag = best.astype(jnp.float32) + off
+    pov = jnp.clip(y0, 0.0, 1.0)
+    log_f0 = jnp.log(cfg.sample_rate / lag)
+    # Utterance-level POV^2-weighted mean of log-pitch (masked), then
+    # mean-subtract; delta = central difference.
+    if frame_lengths is not None:
+        valid = (jnp.arange(t) < frame_lengths[..., None]).astype(jnp.float32)
+    else:
+        valid = jnp.ones_like(log_f0)
+    w = pov * pov * valid + 1e-8
+    mean_lp = (jnp.sum(w * log_f0, axis=-1, keepdims=True)
+               / jnp.sum(w, axis=-1, keepdims=True))
+    norm_lp = (log_f0 - mean_lp) * valid
+    nxt = jnp.concatenate([log_f0[..., 1:], log_f0[..., -1:]], axis=-1)
+    prv = jnp.concatenate([log_f0[..., :1], log_f0[..., :-1]], axis=-1)
+    delta = 0.5 * (nxt - prv) * valid
+    out = jnp.stack([pov * valid, norm_lp, delta], axis=-1)
+    return out.astype(cfg.dtype)
+
+
 def feature_fingerprint(cfg: FrontendConfig) -> str:
     """Canonical string of every FrontendConfig field that changes the
     feature space. Stored inside CMVN-stats .npz files so stats computed
     under one frontend can't silently normalize features from another
     (different n_mels / frame shift / window => different statistics)."""
+    pitch = (f";pitch={cfg.pitch_min_f0}-{cfg.pitch_max_f0}"
+             if cfg.add_pitch else "")
     return (f"sr={cfg.sample_rate};flen={cfg.frame_length_ms};"
             f"fshift={cfg.frame_shift_ms};mels={cfg.num_mel_bins};"
             f"lo={cfg.low_freq};hi={cfg.high_freq};"
             f"preemph={cfg.preemphasis};win={cfg.window};"
-            f"log={cfg.use_log};floor={cfg.log_floor};dc={cfg.remove_dc}")
+            f"log={cfg.use_log};floor={cfg.log_floor};dc={cfg.remove_dc}"
+            + pitch)
 
 
 @functools.lru_cache(maxsize=8)
@@ -284,6 +423,11 @@ def wav_to_features(
     feats = log_mel_spectrogram(wav, cfg)
     num = 1 + jnp.maximum(wav_lengths - cfg.frame_length, 0) // cfg.frame_shift
     frame_lengths = jnp.where(wav_lengths < cfg.frame_length, 0, num)
+    if cfg.add_pitch:
+        # Kaldi paste-feats order: fbank dims first, then the 3 pitch
+        # dims; CMVN below normalizes the pasted feature like apply-cmvn.
+        feats = jnp.concatenate(
+            [feats, pitch_features(wav, frame_lengths, cfg)], axis=-1)
     if apply_cmvn and cfg.cmvn_mode == "utterance":
         feats = cmvn(feats, frame_lengths)
     elif apply_cmvn and cfg.cmvn_mode == "global":
