@@ -102,6 +102,13 @@ def main():
         jax.config.update("jax_default_prng_impl", args.prng_impl)
     from tpu_asr.utils.compile_cache import enable_persistent_cache
     enable_persistent_cache(args.compile_cache)
+    if os.environ.get("COORDINATOR_ADDRESS"):
+        # multi-host (DCN) launch: every process runs this same CLI with
+        # COORDINATOR_ADDRESS / NUM_PROCESSES / PROCESS_ID set; must run
+        # before the first device query (tests/integration/test_multihost.py
+        # drives the same path with two local processes)
+        from tpu_asr.parallel.mesh import initialize_distributed
+        initialize_distributed()
     from tpu_asr.configs import get_preset
     from tpu_asr.data import DataLoader, load_manifest, make_buckets
     from tpu_asr.models import build_model
@@ -245,8 +252,9 @@ def main():
         model=model, tx=tx, train_loader=train_loader, cv_loader=cv_loader,
         epochs=tc.epochs, print_freq=tc.print_freq, specaug=tc.specaug,
         frontend=tc.frontend, lfr=lfr, mesh=mesh, checkpointer=ck,
-        metrics_writer=MetricsWriter(
-            os.path.join(args.save_folder, "metrics.jsonl")),
+        metrics_writer=(MetricsWriter(
+            os.path.join(args.save_folder, "metrics.jsonl"))
+            if jax.process_index() == 0 else None),
         start_epoch=start_epoch,
         profile_dir=args.profile_dir or None)
     state = solver.train(state)

@@ -88,3 +88,82 @@ def test_two_process_initialize_and_psum(tmp_path):
         assert rc == 0, (out[-2000:], err[-2000:])
     assert any("OK pid=0" in o for _, o, _ in outs)
     assert any("OK pid=1" in o for _, o, _ in outs)
+
+
+def _run_train(tmp_path, tag, extra_env=None, port=None):
+    """Launch bin/train.py (tiny synthetic hybrid) in 1 or 2 processes."""
+    save = tmp_path / tag
+    cmd = [sys.executable, os.path.join(REPO, "bin", "train.py"),
+           "--preset", "hybrid_dev", "--synthetic", "8", "--epochs", "2",
+           "--platform", "cpu", "--save-folder", str(save)]
+    n_proc = 2 if port else 1
+    procs = []
+    for pid in range(n_proc):
+        env = dict(os.environ)
+        env.pop("XLA_FLAGS", None)          # 1 CPU device per process
+        env["JAX_PLATFORMS"] = "cpu"
+        if port:
+            env["COORDINATOR_ADDRESS"] = f"127.0.0.1:{port}"
+            env["NUM_PROCESSES"] = "2"
+            env["PROCESS_ID"] = str(pid)
+        if extra_env:
+            env.update(extra_env)
+        procs.append(subprocess.Popen(
+            cmd, env=env, cwd=REPO, stdout=subprocess.PIPE,
+            stderr=subprocess.PIPE, text=True))
+    outs = []
+    for p in procs:
+        try:
+            out, err = p.communicate(timeout=540)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append((p.returncode, out, err))
+    for rc, out, err in outs:
+        assert rc == 0, (out[-2000:], err[-3000:])
+    return save
+
+
+def _final_cv_loss(save):
+    import json
+    losses = [json.loads(l) for l in open(save / "metrics.jsonl")]
+    cv = [m for m in losses if m.get("phase") == "cv"]
+    assert cv, losses
+    return cv[-1]["loss"]
+
+
+def test_two_process_train_cli_end_to_end(tmp_path):
+    """The REAL multi-host path: two processes run the actual train CLI
+    (COORDINATOR_ADDRESS env triggers jax.distributed.initialize inside
+    bin/train.py), sharing one save-folder. Orbax coordinates the save;
+    only process 0 writes metrics/sidecars. The 2-process DP loss must
+    match a single-process run bit-for-bit-ish (same seed, same batches;
+    only the cross-device reduction order differs)."""
+    save_mp = _run_train(tmp_path, "mp", port=_free_port())
+    assert (save_mp / "metrics.jsonl").exists()
+    assert (save_mp / "model_config.json").exists()
+    loss_mp = _final_cv_loss(save_mp)
+    assert loss_mp == loss_mp and loss_mp < 100  # finite
+
+    save_sp = _run_train(tmp_path, "sp")
+    loss_sp = _final_cv_loss(save_sp)
+    assert abs(loss_mp - loss_sp) < 1e-3 * max(1.0, abs(loss_sp)), \
+        (loss_mp, loss_sp)
+
+    # the checkpoint written under the 2-process run restores cleanly
+    # in a plain single-process context (ops teams restore anywhere)
+    code = (
+        "import os,sys; sys.path.insert(0, os.environ['TPU_ASR_REPO']);"
+        "import jax; jax.config.update('jax_platforms','cpu');"
+        "from tpu_asr.train.checkpoints import Checkpointer;"
+        f"ck = Checkpointer({str(save_mp)!r});"
+        "assert ck.latest_step() is not None;"
+        "cfg = ck.load_config(); assert cfg.model_type == 'hybrid';"
+        "print('RESTORE_OK')")
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["TPU_ASR_REPO"] = REPO
+    r = subprocess.run([sys.executable, "-c", code], env=env, cwd=REPO,
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0 and "RESTORE_OK" in r.stdout, r.stderr[-2000:]

@@ -54,3 +54,20 @@ def shard_batch(batch: dict, mesh: Mesh) -> dict:
     """Place a host batch dict onto the mesh, sharded along 'data'."""
     s = batch_sharding(mesh)
     return {k: jax.device_put(v, s) for k, v in batch.items()}
+
+
+def make_global_batch(batch: dict, mesh: Mesh) -> dict:
+    """Host-replicated numpy batch -> GLOBAL jax.Arrays for multi-host.
+
+    jit rejects numpy inputs against a cross-process sharding; every
+    process holds the SAME full batch (the loaders are seed-deterministic,
+    so each host assembles an identical batch), and each contributes only
+    its addressable shards here. Single-process meshes keep the plain
+    numpy fast path (Solver only calls this when process_count() > 1).
+    """
+    s = batch_sharding(mesh)
+    def conv(v):
+        v = np.asarray(v)
+        return jax.make_array_from_callback(v.shape, s,
+                                            lambda idx: v[idx])
+    return {k: conv(v) for k, v in batch.items()}

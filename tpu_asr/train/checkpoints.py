@@ -49,7 +49,11 @@ class Checkpointer:
             options=ocp.CheckpointManagerOptions(
                 max_to_keep=max_to_keep, create=True, best_fn=None,
                 should_keep_fn=lambda step: step == self._pinned_best,
-                enable_async_checkpointing=True),
+                # async saves overlap the next epoch on a single host;
+                # multi-host uses the sync path (the async finalize
+                # barrier hangs the 2-process CPU bring-up, and the
+                # save/step overlap matters less than correctness there)
+                enable_async_checkpointing=jax.process_count() == 1),
         )
 
     def _read_best_json_step(self):
@@ -60,6 +64,8 @@ class Checkpointer:
         return None
 
     def save_config(self, cfg: ModelConfig) -> None:
+        if jax.process_index() != 0:   # orbax coordinates the tensor save
+            return                     # across processes; sidecars are
         with open(os.path.join(self.directory, "model_config.json"), "w") as f:
             json.dump(_config_to_json(cfg), f, indent=2)
 
@@ -71,6 +77,8 @@ class Checkpointer:
         """Frontend sidecar (frontend.json): feature extraction must match
         between train and decode — notably the CMVN policy (global stats
         path) — so decode CLIs pick it up from the checkpoint dir."""
+        if jax.process_index() != 0:
+            return
         d = dataclasses.asdict(fcfg)
         d["dtype"] = np.dtype(fcfg.dtype).name
         with open(os.path.join(self.directory, "frontend.json"), "w") as f:
@@ -109,7 +117,7 @@ class Checkpointer:
             step, args=ocp.args.Composite(
                 state=ocp.args.StandardSave(state),
                 meta=ocp.args.JsonSave(meta)))
-        if is_best:
+        if is_best and jax.process_index() == 0:
             with open(os.path.join(self.directory, "best.json"), "w") as f:
                 json.dump({"step": step, **meta}, f)
 

@@ -159,6 +159,14 @@ class Solver:
                                    lfr=tuple(self.lfr), mesh=self.mesh)
         best_cv = float("inf")
         bad_epochs = 0
+        # multi-host: the jitted step needs GLOBAL arrays, not numpy
+        # (every process assembles the same batch; each contributes its
+        # addressable shards). Single-process keeps the numpy fast path.
+        if self.mesh is not None and jax.process_count() > 1:
+            from tpu_asr.parallel.mesh import make_global_batch
+            place = lambda b: make_global_batch(b, self.mesh)
+        else:
+            place = lambda b: b
         for epoch in range(self.start_epoch, self.epochs):
             t0 = time.time()
             n_batches = 0
@@ -173,7 +181,7 @@ class Solver:
                     elif n_batches == 15:
                         jax.tree.leaves(state.params)[0].block_until_ready()
                         jax.profiler.stop_trace()
-                state, metrics = train_step(state, strip_host_fields(batch))
+                state, metrics = train_step(state, place(strip_host_fields(batch)))
                 n_batches += 1
                 if n_batches % self.print_freq == 0:
                     m = {k: float(v) for k, v in metrics.items()}
@@ -188,7 +196,7 @@ class Solver:
 
             cv_losses = []
             for batch in self.cv_loader:
-                out = eval_step(state.params, strip_host_fields(batch))
+                out = eval_step(state.params, place(strip_host_fields(batch)))
                 cv_losses.append(out["loss"])
             cv_loss = (float(jnp.mean(jnp.stack(cv_losses)))
                        if cv_losses else 0.0)
