@@ -34,6 +34,30 @@ def test_probe_backend_bad_interpreter_is_zero(monkeypatch):
     assert backend_probe.probe_backend(timeout_s=5.0) == 0
 
 
+def test_bench_sigterm_midrun_still_emits_parseable_payload(tmp_path):
+    """r4 verdict item 1: the driver's timeout killed the round-4 bench
+    before its single end-of-run emit and the whole run was lost.  Now a
+    SIGTERM at ANY point — here: seconds in, before the first
+    measurement — must still leave a valid payload as the last stdout
+    line (the signal handler emits before dying), with rc=0."""
+    import signal
+    env = dict(os.environ,
+               TPU_ASR_BENCH_SMALL="1",
+               TPU_ASR_BENCH_PLATFORM="cpu",
+               TPU_ASR_BENCH_LASTGOOD=str(tmp_path / "lg.json"))
+    p = subprocess.Popen([sys.executable, os.path.join(REPO, "bench.py")],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True, env=env, cwd=REPO)
+    time.sleep(8.0)  # past install_signal_emitters(), mid backend-probe
+    p.send_signal(signal.SIGTERM)
+    stdout, stderr = p.communicate(timeout=60)
+    assert p.returncode == 0, stderr[-2000:]
+    line = stdout.strip().splitlines()[-1]
+    out = json.loads(line)
+    assert out["metric"] == "joint_beam_decode_inverse_rtf"
+    assert out["extras"]["killed_by_signal"] == int(signal.SIGTERM)
+
+
 @pytest.mark.slow
 def test_bench_outage_json_carries_baseline_and_stale(tmp_path):
     lastgood = tmp_path / "lastgood.json"
