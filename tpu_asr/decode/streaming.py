@@ -97,7 +97,11 @@ class StreamingCTCRecognizer:
                                        method=Transformer.encode)
         logits = self.model.apply(params, enc_out,
                                   method=Transformer.ctc_logits)
-        probs = jnp.max(jax.nn.softmax(logits.astype(jnp.float32), -1), -1)
+        # max(softmax) == exp(max - logsumexp): fused reductions, no
+        # [B, T, V] f32 posterior materialized (same fix as the offline
+        # greedy-CTC path, r4 verdict item 2)
+        probs = jnp.exp(jnp.max(logits, -1).astype(jnp.float32)
+                        - jax.nn.logsumexp(logits.astype(jnp.float32), -1))
         return jnp.argmax(logits, axis=-1)[0], probs[0], el[0]
 
     # incremental path: one compiled chunk program, O(C * T_cached)
@@ -107,7 +111,8 @@ class StreamingCTCRecognizer:
             enc_c, caches = model.encoder.encode_chunk(
                 window, chunk_idx, caches, valid_upto=valid_upto)
             lg = model.ctc_logits(enc_c)
-            probs = jnp.max(jax.nn.softmax(lg.astype(jnp.float32), -1), -1)
+            probs = jnp.exp(jnp.max(lg, -1).astype(jnp.float32)
+                            - jax.nn.logsumexp(lg.astype(jnp.float32), -1))
             return jnp.argmax(lg, axis=-1)[0], probs[0], caches
         return self.model.apply(params, window, chunk_idx, valid_upto,
                                 caches, method=fwd)
