@@ -85,9 +85,13 @@ if [ "$stage" -le 3 ]; then
       --beam "$beam" --max-len 24 --ctc-weight 0.3 \
       --output "$EXP/hyp_$tag.jsonl" "${lmargs[@]}" "${PFLAG[@]}" "$@" \
       | tail -n 1)
-    python - "$EXP/cer_vs_mode.jsonl" "$mode" "$beam" "$lmw" <<PY
+    # $out travels as an argv element, not interpolated into python
+    # source (quotes/backslashes in the summary line would break the
+    # parse, and an empty line gets a clear error here; ADVICE r4)
+    python - "$EXP/cer_vs_mode.jsonl" "$mode" "$beam" "$lmw" "$out" <<PY
 import json, sys
-s = json.loads('''$out''')
+assert sys.argv[5].strip(), "recognize.py printed no summary line"
+s = json.loads(sys.argv[5])
 s.update(mode=sys.argv[2], beam=int(sys.argv[3]), lm_weight=float(sys.argv[4]))
 with open(sys.argv[1], "a") as f:
     f.write(json.dumps(s) + "\n")

@@ -248,3 +248,72 @@ def test_stream_sessions_expired_and_concurrent():
     time.sleep(0.01)
     with pytest.raises(SessionExpired, match="expired"):
         ss.push("s1", np.ones((4, 8), np.float32))
+
+
+def test_stream_sessions_final_race_raises_expired():
+    """A push that grabbed the session entry BEFORE a concurrent final
+    push closed it must get SessionExpired once it acquires the session
+    lock — not an internal error from pushing into a finished recognizer
+    (ADVICE r4: the close used to happen only after the per-session lock
+    was released, leaving a window)."""
+    from tpu_asr.serve import SessionExpired, StreamSessions
+
+    class FakeStreamRec:
+        def __init__(self):
+            self._tokens = []
+            self.finished = False
+
+        def push(self, feats):
+            assert not self.finished, "push after finish"
+            self._tokens.append(1)
+            return [1]
+
+        def finish(self):
+            self.finished = True
+            return list(self._tokens)
+
+    class _Cfg:
+        d_input = 8
+        model_type = "ctc"
+
+    ss = StreamSessions(_Cfg(), {}, beam=1)
+    ss._new_recognizer = lambda: FakeStreamRec()
+    ss.push("s0", np.ones((2, 8), np.float32))
+    entry = ss._sessions["s0"]
+
+    # interleave exactly like the race: the late pusher already holds the
+    # entry; the final push finishes the recognizer while the late pusher
+    # is blocked on the per-session lock
+    late_result = {}
+
+    def late_push():
+        with entry[1]:           # hold slock so the final push must wait
+            threading.Thread(target=run_final).start()
+            time.sleep(0.1)      # final push is now blocked on slock
+        # slock released -> final push completes -> our re-push must see
+        # the finished flag
+        time.sleep(0.3)
+        try:
+            ss.push("s0", np.ones((2, 8), np.float32))
+            late_result["outcome"] = "no error"
+        except SessionExpired:
+            late_result["outcome"] = "expired"
+        except Exception as e:  # noqa: BLE001
+            late_result["outcome"] = f"wrong error: {e!r}"
+
+    def run_final():
+        ss.push("s0", np.zeros((0, 8), np.float32), final=True)
+
+    t = threading.Thread(target=late_push)
+    t.start()
+    t.join(timeout=10)
+    assert late_result["outcome"] == "expired", late_result
+
+    # and the tighter window: entry captured, THEN finished, then pushed —
+    # the guard under slock must fire even though the id is gone from the map
+    ss2 = StreamSessions(_Cfg(), {}, beam=1)
+    ss2._new_recognizer = lambda: FakeStreamRec()
+    ss2.push("x", np.ones((2, 8), np.float32))
+    captured = ss2._sessions["x"]
+    ss2.push("x", np.zeros((0, 8), np.float32), final=True)
+    assert captured[3] is True   # finished flag set under slock

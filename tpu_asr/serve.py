@@ -234,7 +234,8 @@ class StreamSessions:
         self.cfg, self.params = cfg, params
         self.beam, self.max_frames = beam, max_frames
         self.idle_timeout_s = idle_timeout_s
-        # session -> [recognizer, per-session lock, last-touch ts].
+        # session -> [recognizer, per-session lock, last-touch ts,
+        #             finished flag].
         # The global lock guards only the session map and the closed-id
         # ring; the per-session lock serializes that session's decode so
         # independent /stream sessions overlap (ADVICE r3).
@@ -271,7 +272,7 @@ class StreamSessions:
 
     def _gc(self, now: float):
         """Caller holds self._lock."""
-        dead = [k for k, (_, _, ts) in self._sessions.items()
+        dead = [k for k, (_, _, ts, _) in self._sessions.items()
                 if now - ts > self.idle_timeout_s]
         for k in dead:
             self._close(k, "expired")
@@ -295,16 +296,27 @@ class StreamSessions:
                         f"session {session_id!r} already "
                         f"{self._closed[session_id]}; start a new session "
                         f"id (partial hypothesis was discarded)")
-                entry = [self._new_recognizer(), threading.Lock(), now]
+                entry = [self._new_recognizer(), threading.Lock(), now,
+                         False]
                 self._sessions[session_id] = entry
             entry[2] = now
         rec, slock = entry[0], entry[1]
         with slock:
+            # A concurrent final push for the same id may have finished the
+            # recognizer while we waited on slock (it marks the entry under
+            # slock, then removes it from the map under the global lock) —
+            # surface the intended SessionExpired, not an AssertionError
+            # from pushing into a finished recognizer (ADVICE r4).
+            if entry[3]:
+                raise SessionExpired(
+                    f"session {session_id!r} already finished; start a new "
+                    f"session id (partial hypothesis was discarded)")
             feats = np.asarray(feats, np.float32).reshape(-1,
                                                           self.cfg.d_input)
             new = rec.push(feats) if feats.shape[0] else []
             if final:
                 tokens = rec.finish()
+                entry[3] = True
                 resp = {"new_tokens": new, "tokens": tokens, "final": True}
             else:
                 cur = (list(rec._tokens) if hasattr(rec, "_tokens")
