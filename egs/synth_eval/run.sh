@@ -71,13 +71,17 @@ fi
 if [ "$stage" -le 3 ]; then
   echo "=== stage 3: decode dev in every mode +/- LM"
   : > "$EXP/cer_vs_mode.jsonl"
-  decode() {  # mode beam lm_weight extra...
-    local mode=$1 beam=$2 lmw=$3; shift 3
+  decode() {  # mode beam lm_weight length_penalty extra...
+    local mode=$1 beam=$2 lmw=$3 lp=$4; shift 4
     local tag="${mode}_b${beam}"
     local lmargs=()
     if [ "$lmw" != "0" ]; then
       tag="${tag}_lm${lmw}"
       lmargs=(--lm-ckpt "$EXP/lm" --lm-weight "$lmw")
+    fi
+    if [ "$lp" != "0" ]; then
+      tag="${tag}_lp${lp}"
+      lmargs+=(--length-penalty "$lp")
     fi
     echo "--- $tag"
     out=$(python bin/recognize.py --ckpt "$EXP/am" --restore best \
@@ -88,26 +92,60 @@ if [ "$stage" -le 3 ]; then
     # $out travels as an argv element, not interpolated into python
     # source (quotes/backslashes in the summary line would break the
     # parse, and an empty line gets a clear error here; ADVICE r4)
-    python - "$EXP/cer_vs_mode.jsonl" "$mode" "$beam" "$lmw" "$out" <<PY
+    python - "$EXP/cer_vs_mode.jsonl" "$mode" "$beam" "$lmw" "$lp" "$out" <<PY
 import json, sys
-assert sys.argv[5].strip(), "recognize.py printed no summary line"
-s = json.loads(sys.argv[5])
-s.update(mode=sys.argv[2], beam=int(sys.argv[3]), lm_weight=float(sys.argv[4]))
+assert sys.argv[6].strip(), "recognize.py printed no summary line"
+s = json.loads(sys.argv[6])
+s.update(mode=sys.argv[2], beam=int(sys.argv[3]),
+         lm_weight=float(sys.argv[4]), length_penalty=float(sys.argv[5]))
 with open(sys.argv[1], "a") as f:
     f.write(json.dumps(s) + "\n")
 print(json.dumps(s))
 PY
   }
-  decode greedy_ctc 1 0
-  decode beam 5 0
-  decode joint 5 0
-  decode joint 10 0
-  decode attn_rescore 10 0
-  decode ctc_beam 10 0
-  decode joint 5 0.3
-  decode joint 10 0.3
-  decode attn_rescore 10 0.3
-  decode ctc_beam 10 0.3
+  decode greedy_ctc 1 0 0
+  # pure attention beam: r4 measured CER 0.1054 here, 70% deletions with
+  # hyps down to 0.40x the reference length (early-eos short-hypothesis
+  # bias) — the lp/minlen rows measure how much of that is length
+  # calibration vs model weakness (stage 4 separates search bugs out)
+  decode beam 5 0 0
+  decode beam 5 0 0.5
+  decode beam 5 0 1.0
+  decode beam 5 0 0 --minlenratio 0.05
+  decode joint 5 0 0
+  decode joint 10 0 0
+  decode attn_rescore 10 0 0
+  decode ctc_beam 10 0 0
+  # lm_weight sweep (r4 only tried 0.3, which HURT joint: 0.0158->0.0233)
+  for lmw in 0.05 0.1 0.2 0.3; do
+    decode joint 5 "$lmw" 0
+    decode ctc_beam 10 "$lmw" 0
+  done
+  decode joint 10 0.1 0
+  decode attn_rescore 10 0.1 0
+  decode attn_rescore 10 0.3 0
   echo "=== table: $EXP/cer_vs_mode.jsonl"
   cat "$EXP/cer_vs_mode.jsonl"
+fi
+
+if [ "$stage" -le 4 ]; then
+  echo "=== stage 4: search-sanity — pure attention beam on 100 TRAIN utts"
+  # If the attention beam machinery is sound, decoding data the model has
+  # memorized must be near-exact; held-out deletions then indict decoder
+  # calibration (early eos under noise), not the search.
+  head -100 "$EXP/data/train/train.jsonl" > "$EXP/data/train/train100.jsonl"
+  for m in beam joint greedy_ctc; do
+    out=$(python bin/recognize.py --ckpt "$EXP/am" --restore best \
+      --manifest "$EXP/data/train/train100.jsonl" --mode "$m" \
+      --beam 5 --max-len 24 --ctc-weight 0.3 \
+      --output "$EXP/hyp_train_$m.jsonl" "${PFLAG[@]}" | tail -n 1)
+    python - "$EXP/cer_vs_mode.jsonl" "$m" "$out" <<PY
+import json, sys
+s = json.loads(sys.argv[3])
+s.update(mode=sys.argv[2], split="train_overfit")
+with open(sys.argv[1], "a") as f:
+    f.write(json.dumps(s) + "\n")
+print(json.dumps(s))
+PY
+  done
 fi

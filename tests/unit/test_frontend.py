@@ -1,6 +1,8 @@
 """Frontend tests: framing, log-mel vs a straightforward numpy/scipy-free
 reference, CMVN, LFR stacking vs a python-loop reference."""
 
+import dataclasses
+
 import numpy as np
 import jax.numpy as jnp
 import pytest
@@ -296,3 +298,78 @@ def test_pitch_fingerprint_and_sidecar_roundtrip(tmp_path):
     ck.save_frontend(PCFG)
     got = ck.load_frontend()
     assert got.add_pitch and got.feature_dim == 83
+
+
+# ---- Viterbi lag smoothing (pitch_smooth_weight > 0) ----
+
+def test_viterbi_lags_resolves_octave_decoys():
+    """Direct DP property: on a lattice where scattered frames carry a
+    slightly HIGHER peak at half the true lag (the octave-up decoy a
+    per-frame picker takes), the smoothed track stays on the true lag."""
+    min_lag, max_lag, t = 40, 120, 50
+    true_lag = 80
+    band = np.full((t, max_lag - min_lag + 1), -0.2, np.float32)
+    band[:, true_lag - min_lag] = 0.9
+    decoy_frames = list(range(3, t, 7))
+    for i in decoy_frames:
+        band[i, true_lag // 2 - min_lag] = 0.93    # beats the true peak
+    greedy = np.argmax(band, axis=-1) + min_lag
+    assert all(greedy[i] == true_lag // 2 for i in decoy_frames)
+    smoothed = np.asarray(F._viterbi_lags(
+        jnp.asarray(band), min_lag, max_lag, weight=4.0))
+    # an octave jump costs 2 * 4 * log(2)^2 ~ 3.8 against a 0.03 gain
+    assert np.all(smoothed == true_lag), smoothed[decoy_frames]
+
+
+def test_viterbi_lags_follows_genuine_changes():
+    """Smoothing must not freeze the track: a gradual lag ramp with a
+    clear peak is followed exactly (transition cost of one 2%-lag step
+    is tiny vs the peak margin)."""
+    min_lag, max_lag, t = 40, 120, 60
+    path = np.linspace(60, 100, t).round().astype(int)
+    band = np.full((t, max_lag - min_lag + 1), -0.2, np.float32)
+    band[np.arange(t), path - min_lag] = 0.9
+    smoothed = np.asarray(F._viterbi_lags(
+        jnp.asarray(band), min_lag, max_lag, weight=4.0))
+    assert np.abs(smoothed - path).max() <= 1
+
+
+def test_pitch_smoothing_on_vibrato_tone():
+    """End-to-end on a 6 Hz vibrato tone (f0 = 200 +/- 20 Hz) with a
+    strong second harmonic and additive noise: the smoothed log-pitch
+    contour must (a) contain no octave-sized frame-to-frame jumps,
+    (b) track the true vibrato contour, and (c) reduce to the greedy
+    picker's result on a clean stationary tone (no distortion where
+    per-frame picking is already right)."""
+    sr = PCFG.sample_rate
+    scfg = dataclasses.replace(PCFG, pitch_smooth_weight=4.0)
+    tt = np.arange(sr) / sr
+    f0 = 200.0 + 20.0 * np.sin(2 * np.pi * 6.0 * tt)
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    rng = np.random.default_rng(0)
+    wav = (np.sin(phase) + 0.8 * np.sin(2 * phase)
+           + 0.25 * rng.standard_normal(sr)).astype(np.float32)
+    n_fr = PCFG.num_frames(sr)
+    out = np.asarray(F.pitch_features(
+        jnp.asarray(wav)[None], jnp.asarray([n_fr]), scfg))[0]
+    pov, norm_lp = out[..., 0], out[..., 1]
+    voiced = pov > 0.5
+    assert voiced.mean() > 0.9
+    # (a) adjacent-frame log-pitch moves are vibrato-sized, never octave
+    jumps = np.abs(np.diff(norm_lp))[voiced[1:] & voiced[:-1]]
+    assert jumps.max() < 0.5 * np.log(2), jumps.max()
+    # (b) the contour matches log f0(frame center) - weighted mean
+    centers = (np.arange(n_fr) * PCFG.frame_shift
+               + PCFG.frame_length // 2)
+    lf = np.log(f0[np.minimum(centers, sr - 1)])
+    w = (pov ** 2)[voiced]
+    expect = lf[voiced] - (w * lf[voiced]).sum() / w.sum()
+    err = np.abs(norm_lp[voiced] - expect)
+    assert np.percentile(err, 95) < 0.05, np.percentile(err, 95)
+    # (c) clean stationary tone: smoothing changes nothing material
+    tone = np.sin(2 * np.pi * 220.0 * tt).astype(np.float32)
+    a = np.asarray(F.pitch_features(
+        jnp.asarray(tone)[None], jnp.asarray([n_fr]), PCFG))[0]
+    b = np.asarray(F.pitch_features(
+        jnp.asarray(tone)[None], jnp.asarray([n_fr]), scfg))[0]
+    np.testing.assert_allclose(a[..., 1], b[..., 1], atol=5e-3)

@@ -57,6 +57,13 @@ class FrontendConfig:
     add_pitch: bool = False
     pitch_min_f0: float = 60.0
     pitch_max_f0: float = 400.0
+    # Lag smoothing across frames: 0.0 = per-frame peak picking
+    # (shortest-lag-within-threshold); > 0 = Viterbi DP over the lag
+    # lattice with transition cost w * (log lag_t - log lag_{t-1})^2 —
+    # the same role as Kaldi's lag tracker, resolving octave errors a
+    # per-frame picker passes through. 4.0 is a good starting weight
+    # (NCCF peaks are ~O(1); an octave jump costs 4*log(2)^2 ~ 1.9).
+    pitch_smooth_weight: float = 0.0
 
     @property
     def frame_length(self) -> int:
@@ -255,6 +262,48 @@ def _pitch_constants(cfg: FrontendConfig):
             inv_cos.astype(f32), inv_sin.astype(f32))
 
 
+def _viterbi_lags(band: jnp.ndarray, min_lag: int, max_lag: int,
+                  weight: float) -> jnp.ndarray:
+    """Smoothed lag track over the NCCF lattice.
+
+    band [..., T, L] = NCCF at lags min_lag..max_lag. Maximizes
+    sum_t nccf[t, lag_t] - weight * sum_t (log lag_t - log lag_{t-1})^2
+    with a max-product forward scan + backtrace — the role of Kaldi's
+    online lag tracker (pitch-tracking cost in log-lag space penalizes
+    octave jumps), in batched static-shape form: the per-frame
+    relaxation over the [L, L] transition matrix is one max-reduction a
+    TPU vectorizes, T stays a lax.scan. Remaining delta vs Kaldi
+    (docs/PARITY.md): Kaldi's costs also depend on NCCF-derived POV and
+    an f0-dependent soft floor; this is pure log-lag quadratic.
+    Returns integer lags [..., T] in [min_lag, max_lag].
+    """
+    lags = np.arange(min_lag, max_lag + 1, dtype=np.float64)
+    ll = np.log(lags)
+    trans = (-weight * (ll[:, None] - ll[None, :]) ** 2).astype(np.float32)
+    # time-major for the scan: [T, ..., L]
+    x = jnp.moveaxis(band, -2, 0)
+
+    def fwd(carry, x_t):
+        # carry [..., Lp] + trans [Lp, Lc] -> best over prev lag
+        scores = carry[..., :, None] + trans
+        bptr = jnp.argmax(scores, axis=-2).astype(jnp.int32)  # [..., Lc]
+        return jnp.max(scores, axis=-2) + x_t, bptr
+
+    final, bptrs = jax.lax.scan(fwd, x[0], x[1:])
+    last = jnp.argmax(final, axis=-1).astype(jnp.int32)       # [...]
+
+    def back(state, bp_t):
+        prev = jnp.take_along_axis(bp_t, state[..., None], axis=-1)[..., 0]
+        return prev, state
+
+    # reverse scan: ys[i] = state at time i+1 (the carry while consuming
+    # the transition into i+1); the final carry is the state at time 0
+    first, path_tail = jax.lax.scan(back, last, bptrs, reverse=True)
+    path = jnp.concatenate([first[..., None],
+                            jnp.moveaxis(path_tail, 0, -1)], axis=-1)
+    return path + min_lag
+
+
 def pitch_features(
     wav: jnp.ndarray,
     frame_lengths: jnp.ndarray | None,
@@ -312,8 +361,14 @@ def pitch_features(
     # resolves it with a Viterbi lag tracker) — take the SHORTEST lag
     # within a small threshold of the peak, then refine parabolically.
     band = nccf[..., min_lag:max_lag + 1]
-    peak = jnp.max(band, axis=-1, keepdims=True)
-    best = jnp.argmax(band >= peak - 0.025, axis=-1) + min_lag  # [..., T]
+    if cfg.pitch_smooth_weight > 0.0:
+        # Viterbi lag tracking (see _viterbi_lags): octave errors that
+        # per-frame picking passes through cost weight*log(2)^2 each here
+        best = _viterbi_lags(band, min_lag, max_lag,
+                             cfg.pitch_smooth_weight)
+    else:
+        peak = jnp.max(band, axis=-1, keepdims=True)
+        best = jnp.argmax(band >= peak - 0.025, axis=-1) + min_lag
     y0 = jnp.take_along_axis(nccf, best[..., None], axis=-1)[..., 0]
     ym = jnp.take_along_axis(nccf, best[..., None] - 1, axis=-1)[..., 0]
     yp = jnp.take_along_axis(nccf, best[..., None] + 1, axis=-1)[..., 0]
@@ -347,6 +402,7 @@ def feature_fingerprint(cfg: FrontendConfig) -> str:
     under one frontend can't silently normalize features from another
     (different n_mels / frame shift / window => different statistics)."""
     pitch = (f";pitch={cfg.pitch_min_f0}-{cfg.pitch_max_f0}"
+             f";psmooth={cfg.pitch_smooth_weight}"
              if cfg.add_pitch else "")
     return (f"sr={cfg.sample_rate};flen={cfg.frame_length_ms};"
             f"fshift={cfg.frame_shift_ms};mels={cfg.num_mel_bins};"
