@@ -151,6 +151,43 @@ class RelPosMultiHeadAttention(nn.Module):
         return out, k_cache, v_cache
 
 
+class DepthwiseConv1d(nn.Module):
+    """Depthwise conv as kernel-many shifted multiply-adds.
+
+    NOT a grouped lax.conv, for two TPU reasons: (1) groups == channels
+    convolutions underuse the MXU (each "matmul" is 1x1xk — VPU
+    elementwise work is the right tool, and XLA fuses the k shifted
+    multiplies into one pass); (2) observed miscompile — XLA's SPMD
+    partitioner produces a wrong GRADIENT for the grouped-conv kernel
+    under a 2-D (data, model) mesh (dp=4 x tp=2: kernel grad off by
+    O(1) while pure dp=8 / pure tp=2 are exact to 1e-7;
+    tests/unit/test_mesh_families.py pins this).
+
+    Param layout matches flax nn.Conv(feature_group_count=C) — kernel
+    [k, 1, C], bias [C] — so existing checkpoints restore unchanged.
+    """
+    features: int
+    kernel_size: int
+    dtype: jnp.dtype = jnp.float32
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, h):
+        """h [B, T + k - 1, C] (already padded) -> [B, T, C] (VALID)."""
+        k, c = self.kernel_size, self.features
+        w = self.param("kernel", nn.initializers.lecun_normal(),
+                       (k, 1, c), self.param_dtype)
+        b = self.param("bias", nn.initializers.zeros, (c,),
+                       self.param_dtype)
+        h = h.astype(self.dtype)
+        w = w.astype(self.dtype)
+        t_out = h.shape[1] - k + 1
+        out = h[:, :t_out] * w[0, 0]
+        for i in range(1, k):
+            out = out + h[:, i:i + t_out] * w[i, 0]
+        return out + b.astype(self.dtype)
+
+
 class ConvModule(nn.Module):
     """Pointwise-GLU -> depthwise conv -> LN -> swish -> pointwise.
 
@@ -164,9 +201,8 @@ class ConvModule(nn.Module):
         c = self.cfg
         self.pw1 = nn.Dense(2 * c.d_model, dtype=c.dtype,
                             param_dtype=c.param_dtype)
-        self.depthwise = nn.Conv(
-            c.d_model, kernel_size=(c.conv_kernel,), padding="VALID",
-            feature_group_count=c.d_model, dtype=c.dtype,
+        self.depthwise = DepthwiseConv1d(
+            c.d_model, c.conv_kernel, dtype=c.dtype,
             param_dtype=c.param_dtype)
         self.norm = nn.LayerNorm(dtype=c.dtype)
         self.pw2 = nn.Dense(c.d_model, dtype=c.dtype,
