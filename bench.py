@@ -202,6 +202,24 @@ def make_decode_batches():
     return batches, float(lens.sum()) * 0.01
 
 
+def warm_shapes(rec, batches, label=""):
+    """Compile+warm every distinct bucket shape CONCURRENTLY: XLA compiles
+    are host-CPU work dominated by sequential HLO passes, so two bucket
+    shapes (T=512/T=1000) compiled from two threads overlap nearly fully —
+    r4's driver run paid a 654.5 s cold joint-beam warmup for the two
+    shapes back to back."""
+    from concurrent.futures import ThreadPoolExecutor
+    t0 = time.time()
+    cc = dict(CACHE_COUNTS)
+    firsts = {}
+    for b in batches:
+        firsts.setdefault(b["feats"].shape, b)
+    with ThreadPoolExecutor(max_workers=len(firsts)) as ex:
+        list(ex.map(rec.decode_batch, firsts.values()))
+    log(f"{label} compile+warmup ({len(firsts)} shapes, parallel): "
+        f"{time.time()-t0:.1f}s [{cache_delta(cc)}]")
+
+
 def bench_decode_tpu(cfg, params, batches, audio_s, mode="joint", beam=BEAM,
                      passes=3):
     from tpu_asr.decode.beam import BeamConfig
@@ -212,15 +230,7 @@ def bench_decode_tpu(cfg, params, batches, audio_s, mode="joint", beam=BEAM,
                                      ctc_weight=0.3 if mode == "joint"
                                      else 0.0),
                      mode=mode)
-    t0 = time.time()
-    cc = dict(CACHE_COUNTS)
-    warmed = set()
-    for b in batches:                  # warm up every bucket shape
-        if b["feats"].shape not in warmed:
-            rec.decode_batch(b)
-            warmed.add(b["feats"].shape)
-    log(f"{mode} beam={beam} compile+warmup ({len(warmed)} shapes): "
-        f"{time.time()-t0:.1f}s [{cache_delta(cc)}]")
+    warm_shapes(rec, batches, label=f"{mode} beam={beam}")
     t0 = time.time()
     for _ in range(passes):
         for b in batches:
@@ -306,12 +316,7 @@ def bench_transducer(batch_arrays, batches, audio_s):
     log(f"transducer init+compile: {time.time()-t0:.1f}s")
     rec = Recognizer(cfg=cfg, params=params, mode="transducer_greedy",
                      beam=BeamConfig(beam=1, max_len=MAX_LEN))
-    t0 = time.time()
-    cc = dict(CACHE_COUNTS)
-    for b_ in batches:
-        rec.decode_batch(b_)
-    log(f"transducer greedy compile+warmup: {time.time()-t0:.1f}s "
-        f"[{cache_delta(cc)}]")
+    warm_shapes(rec, batches, label="transducer greedy")
     t0 = time.time()
     for _ in range(3):
         for b_ in batches:
@@ -345,12 +350,7 @@ def bench_conformer(batch_arrays, batches, audio_s):
     log(f"conformer init+compile: {time.time()-t0:.1f}s")
     rec = Recognizer(cfg=cfg, params=params, mode="greedy_ctc",
                      beam=BeamConfig(beam=1, max_len=MAX_LEN))
-    t0 = time.time()
-    cc = dict(CACHE_COUNTS)
-    for b_ in batches:
-        rec.decode_batch(b_)
-    log(f"conformer greedy-ctc compile+warmup: {time.time()-t0:.1f}s "
-        f"[{cache_delta(cc)}]")
+    warm_shapes(rec, batches, label="conformer greedy-ctc")
     t0 = time.time()
     for _ in range(3):
         for b_ in batches:

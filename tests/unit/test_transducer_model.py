@@ -411,7 +411,7 @@ def test_transducer_rescore_scores_decompose():
     rec = Recognizer(cfg=cfg, params=params, mode="transducer_rescore",
                      beam=BeamConfig(beam=4, max_len=12, nbest=2,
                                      ctc_weight=0.5))
-    out = rec._transducer_rescore(params,
+    out = rec._transducer_rescore(params, None,
                                   {"feats": jnp.asarray(feats),
                                    "feat_lengths": jnp.asarray(flens)})
     scores = np.asarray(out["scores"])

@@ -142,8 +142,14 @@ class Recognizer:
                                         max_tokens=self.beam.max_len,
                                         return_times=True)
 
+    # NOTE on LM fusion params: every jitted method takes lm_params as a
+    # TRACED argument instead of reading self.lm_params through the static
+    # self — a closed-over array pytree is lowered as embedded HLO
+    # constants (the whole LM baked into the executable: slow compiles,
+    # bloated programs, and the weights re-serialized per bucket shape).
+
     @partial(jax.jit, static_argnums=0)
-    def _transducer_beam(self, params, batch):
+    def _transducer_beam(self, params, lm_params, batch):
         """Alignment-length-synchronous transducer beam search (compiled)."""
         from tpu_asr.decode.transducer_decode import transducer_beam_search
         feats, flens = self._features(batch)
@@ -151,13 +157,14 @@ class Recognizer:
             self.model, params, feats, flens, beam=self.beam.beam,
             max_tokens=self.beam.max_len,
             length_penalty=self.beam.length_penalty,
-            lm=self.lm, lm_params=self.lm_params,
+            lm=self.lm, lm_params=lm_params,
             lm_weight=self.beam.lm_weight)
 
     @partial(jax.jit, static_argnums=0)
-    def _transducer_rescore(self, params, batch):
+    def _transducer_rescore(self, params, lm_params, batch):  # noqa: ARG002
         """Two-pass: aux-CTC prefix-beam n-best rescored by the exact
-        transducer marginal (no autoregressive loop)."""
+        transducer marginal (no autoregressive loop; lm_params unused —
+        uniform signature with the other n-best modes)."""
         from tpu_asr.decode.transducer_decode import transducer_rescore
         feats, flens = self._features(batch)
         return transducer_rescore(
@@ -165,7 +172,7 @@ class Recognizer:
             max_len=self.beam.max_len, ctc_weight=self.beam.ctc_weight)
 
     @partial(jax.jit, static_argnums=0)
-    def _ctc_beam(self, params, batch):
+    def _ctc_beam(self, params, lm_params, batch):
         """Frame-synchronous CTC prefix beam search (no attention decoder
         needed — upgrades CTC-only models beyond the reference's greedy)."""
         from tpu_asr.decode.ctc_beam import ctc_prefix_beam_search
@@ -176,12 +183,12 @@ class Recognizer:
         toks, lens, scores = ctc_prefix_beam_search(
             logits, el, beam=self.beam.beam,
             max_len=min(self.beam.max_len, logits.shape[1]),
-            lm=self.lm, lm_params=self.lm_params,
+            lm=self.lm, lm_params=lm_params,
             lm_weight=self.beam.lm_weight, sos=self.cfg.vocab_size - 2)
         return {"tokens": toks, "lengths": lens, "scores": scores}
 
     @partial(jax.jit, static_argnums=0)
-    def _attn_rescore(self, params, batch):
+    def _attn_rescore(self, params, lm_params, batch):
         """Two-pass decode: CTC prefix beam n-best, rescored by ONE
         batched teacher-forced decoder pass (no autoregressive loop)."""
         from tpu_asr.decode.rescore import attention_rescore
@@ -196,11 +203,11 @@ class Recognizer:
             dec, dp, enc_out, el, logits, self.cfg.vocab_size - 2,
             self.cfg.vocab_size - 1, beam=self.beam.beam,
             max_len=self.beam.max_len, ctc_weight=self.beam.ctc_weight,
-            lm=self.lm, lm_params=self.lm_params,
+            lm=self.lm, lm_params=lm_params,
             lm_weight=self.beam.lm_weight)
 
     @partial(jax.jit, static_argnums=0)
-    def _beam(self, params, batch):
+    def _beam(self, params, lm_params, batch):
         feats, flens = self._features(batch)
         enc_out, el = self.model.apply(params, feats, flens,
                                        method=Transformer.encode)
@@ -214,7 +221,7 @@ class Recognizer:
         out = attention_beam_search(
             dec, dp, enc_out, el, self.cfg.vocab_size - 2,
             self.cfg.vocab_size - 1, self.beam, ctc_logp=ctc_logp,
-            lm=self.lm, lm_params=self.lm_params)
+            lm=self.lm, lm_params=lm_params)
         return out
 
     @partial(jax.jit, static_argnums=0)
@@ -257,7 +264,7 @@ class Recognizer:
                   "transducer_beam": self._transducer_beam,
                   "transducer_rescore": self._transducer_rescore}.get(
                       self.mode, self._beam)
-            out = fn(self.params, arrays)
+            out = fn(self.params, self.lm_params, arrays)
             toks = np.asarray(out["tokens"])           # [B, W, L]
             lens = np.asarray(out["lengths"])
             scores = np.asarray(out["scores"])
