@@ -29,7 +29,8 @@ jax.config.update("jax_default_matmul_precision", "float32")
 from tpu_asr.utils.compile_cache import enable_persistent_cache  # noqa: E402
 
 enable_persistent_cache(os.path.join(os.path.expanduser("~"), ".cache",
-                                     "tpu_asr", "xla-tests"))
+                                     "tpu_asr", "xla-tests"),
+                        min_compile_secs=0.0)
 
 
 @pytest.fixture

@@ -29,12 +29,21 @@ def default_cache_dir() -> str:
     return os.path.join(os.path.expanduser("~"), ".cache", "tpu_asr", "xla")
 
 
-def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
+def enable_persistent_cache(cache_dir: str | None = None,
+                            min_compile_secs: float = 1.0) -> str | None:
     """Point JAX's persistent compilation cache at a durable directory.
 
     Must run before the first jit compilation in the process (config
     changes do not retroactively cache already-built executables).
     Returns the directory in use, or None when disabled.
+
+    min_compile_secs: compile-time floor below which entries are not
+    persisted. CLIs keep the 1 s default (the expensive entries — Pallas
+    prefix scorer, fused train step — are minutes each; the floor avoids
+    churning the dir with trivial ops). The TEST conftest passes 0.0: the
+    fast tier compiles hundreds of sub-second tiny programs on a 1-core
+    box, and re-compiling them every run costs minutes that a cache hit
+    (~10 ms deserialize) does not.
     """
     path = cache_dir or os.environ.get(ENV_VAR) or default_cache_dir()
     if path.lower() in DISABLE_VALUES:
@@ -43,10 +52,8 @@ def enable_persistent_cache(cache_dir: str | None = None) -> str | None:
 
     os.makedirs(path, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", path)
-    # Cache everything that took >=1s to compile regardless of size; the
-    # expensive entries here (Pallas prefix scorer, fused train step) are
-    # minutes each, the floor just avoids churning on trivial ops.
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      min_compile_secs)
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
     return path
 
