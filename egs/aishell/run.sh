@@ -144,14 +144,18 @@ if [[ $stage -le 2 ]]; then
     --save-folder "$exp" ${train_extra[@]+"${train_extra[@]}"}
 fi
 
-# primary decode mode per model family (hybrid presets use joint
-# CTC/attention; transducer presets the ALSD beam; cif its own decode)
+# primary decode mode per model family. Hybrid presets default to
+# attention rescoring: on the n=200 held-out synth_eval table
+# (exp/synth_eval/cer_vs_mode.jsonl, round 5) attn_rescore beats joint on
+# CER (0.0083 vs 0.0158) AND inverse-RTF (271x vs 231x); with an external
+# LM, ctc_beam --lm-weight 0.1 was best overall (0.0060). Transducer
+# presets use two-pass rescoring; cif its own decode.
 case "$preset" in
   transducer*) decode_mode=transducer_rescore ;;
   cif*)        decode_mode=cif_greedy ;;
   ctc*|streaming) decode_mode=ctc_beam ;;
   attention*)  decode_mode=beam ;;
-  *)           decode_mode=joint ;;
+  *)           decode_mode=attn_rescore ;;
 esac
 
 if [[ $stage -le 3 ]]; then
@@ -160,13 +164,14 @@ if [[ $stage -le 3 ]]; then
     --mode "$decode_mode" --beam "$nj_decode_beam" \
     --output "$exp/test_hyp.jsonl" \
     ${recog_extra[@]+"${recog_extra[@]}"} | tee "$exp/decode_summary.json"
-  if [[ "$decode_mode" == joint ]]; then
-    # two-pass attention rescoring (beyond-reference): ~2x decode throughput
+  if [[ "$decode_mode" == attn_rescore ]]; then
+    # reference-style joint CTC/attention one-pass beam, kept as a parity
+    # cross-check next to the (faster + better-scoring) rescoring default
     python bin/recognize.py --ckpt "$exp" --manifest data/aishell/test.jsonl \
-      --mode attn_rescore --beam "$nj_decode_beam" --ctc-weight 0.5 \
-      --output "$exp/test_hyp_rescore.jsonl" \
+      --mode joint --beam "$nj_decode_beam" \
+      --output "$exp/test_hyp_joint.jsonl" \
       ${recog_extra[@]+"${recog_extra[@]}"} \
-      | tee "$exp/decode_summary_rescore.json"
+      | tee "$exp/decode_summary_joint.json"
   fi
 fi
 

@@ -79,12 +79,17 @@ PRESETS: dict[str, TrainConfig] = {
         epochs=30, warmup_steps=100, lr_k=1.0, batch_frames=8000,
         num_buckets=2, decode_mode="joint",
         beam=BeamConfig(beam=5, max_len=24, ctc_weight=0.3)),
-    # 3: hybrid CTC/attention (config #3)
+    # 3: hybrid CTC/attention (config #3). Decode default picked from the
+    # n=200 held-out synth_eval table (exp/synth_eval/cer_vs_mode.jsonl,
+    # round 5): attn_rescore CER 0.0083 @ 271x vs joint 0.0158 @ 231x
+    # (b5) / 0.0151 @ 157x (b10) — better on both axes. With an external
+    # LM, ctc_beam --lm-weight 0.1 is best overall (0.0060); pass
+    # --mode ctc_beam --lm ... to use it. joint remains available.
     "hybrid": TrainConfig(
         model=dataclasses.replace(_BASE, model_type="hybrid",
                                   ctc_weight=0.3),
-        decode_mode="joint",
-        beam=BeamConfig(beam=5, max_len=100, ctc_weight=0.3)),
+        decode_mode="attn_rescore",
+        beam=BeamConfig(beam=10, max_len=100, ctc_weight=0.3)),
     # 4a: CPU-runnable CIF slice (CLI e2e / streaming demos)
     "cif_dev": TrainConfig(
         model=dataclasses.replace(
@@ -118,7 +123,7 @@ PRESETS: dict[str, TrainConfig] = {
                                   encoder_type="conformer"),
         epochs=80, batch_frames=32000, num_buckets=6,
         specaug=SpecAugmentConfig(),
-        decode_mode="joint",
+        decode_mode="attn_rescore",  # see the "hybrid" preset note
         beam=BeamConfig(beam=10, max_len=100, ctc_weight=0.3)),
     # transducer (beyond the reference): RNN-T with a causal-transformer
     # predictor — the standard streaming production objective
@@ -189,7 +194,7 @@ PRESETS: dict[str, TrainConfig] = {
                                   pallas_ctc=True),
         epochs=80, batch_frames=32000, num_buckets=6,
         specaug=SpecAugmentConfig(),
-        decode_mode="joint",
+        decode_mode="attn_rescore",  # see the "hybrid" preset note
         beam=BeamConfig(beam=10, max_len=100, ctc_weight=0.3)),
 }
 
