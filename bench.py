@@ -231,10 +231,12 @@ def bench_decode_tpu(cfg, params, batches, audio_s, mode="joint", beam=BEAM,
                                      else 0.0),
                      mode=mode)
     warm_shapes(rec, batches, label=f"{mode} beam={beam}")
+    # the production manifest path (bin/recognize.py): dispatch-ahead
+    # window + grouped output fetches (r5: per-array fetches cost ~23 ms
+    # of tunnel round trip EACH and dominated every decode number)
     t0 = time.time()
     for _ in range(passes):
-        for b in batches:
-            rec.decode_batch(b)
+        rec.decode_batches_nbest(batches)
     wall = (time.time() - t0) / passes
     return audio_s / wall
 
@@ -319,8 +321,7 @@ def bench_transducer(batch_arrays, batches, audio_s):
     warm_shapes(rec, batches, label="transducer greedy")
     t0 = time.time()
     for _ in range(3):
-        for b_ in batches:
-            rec.decode_batch(b_)
+        rec.decode_batches_nbest(batches)
     decode_rtf = audio_s / ((time.time() - t0) / 3)
     # train bench donates params -> run last
     steps = bench_train_tpu(cfg, model, params, batch_arrays)
@@ -353,8 +354,7 @@ def bench_conformer(batch_arrays, batches, audio_s):
     warm_shapes(rec, batches, label="conformer greedy-ctc")
     t0 = time.time()
     for _ in range(3):
-        for b_ in batches:
-            rec.decode_batch(b_)
+        rec.decode_batches_nbest(batches)
     decode_rtf = audio_s / ((time.time() - t0) / 3)
     steps = bench_train_tpu(cfg, model, params, batch_arrays)
     return {"train_steps_per_sec": round(steps, 3),

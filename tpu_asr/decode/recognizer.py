@@ -243,7 +243,49 @@ class Recognizer:
         return [h[0]["yseq"] for h in self.decode_batch_nbest(batch)]
 
     def decode_batch_nbest(self, batch) -> list[list[dict]]:
-        """-> per-utterance n-best [{'yseq': [ids], 'score': float}, ...]."""
+        """-> per-utterance n-best [{'yseq': [ids], 'score': float}, ...].
+
+        Fetches ALL device outputs with one jax.device_get: per-array
+        np.asarray costs a full host<->device round trip EACH (~23 ms
+        over the axon TPU tunnel — measured r5, where 20 per-array
+        fetches made greedy decode 13x slower than the device program
+        itself). Throughput-oriented manifest decoding should prefer
+        decode_batches_nbest, which also pipelines across batches.
+        """
+        kind, dev = self._dispatch(batch)
+        return self._finalize(kind, jax.device_get(dev))
+
+    def decode_batches_nbest(self, batches, window: int = 8
+                             ) -> list[list[list[dict]]]:
+        """Pipelined manifest decode: dispatch up to `window` batches of
+        device work ahead, then fetch the whole group's outputs with ONE
+        jax.device_get — the fetch round trip amortizes across the window
+        instead of serializing per batch (the device computes batch N+1
+        while the host post-processes batch N). -> one
+        decode_batch_nbest-shaped result list per input batch, in order.
+        """
+        out: list[list[list[dict]]] = []
+        pending: list[tuple[str, tuple]] = []
+
+        def flush():
+            fetched = jax.device_get([d for _k, d in pending])
+            out.extend(self._finalize(k, f)
+                       for (k, _d), f in zip(pending, fetched))
+            pending.clear()
+
+        for batch in batches:
+            pending.append(self._dispatch(batch))
+            if len(pending) >= window:
+                flush()
+        if pending:
+            flush()
+        return out
+
+    # --- dispatch (device work, async) / finalize (host work) split ---
+
+    def _dispatch(self, batch) -> tuple[str, tuple]:
+        """Run the jitted decode program for one batch WITHOUT fetching:
+        returns (kind, tuple-of-device-arrays) for _finalize."""
         if self.mesh is not None:
             from tpu_asr.parallel import shard_batch
             arrays = shard_batch({k: v for k, v in batch.items()
@@ -251,12 +293,6 @@ class Recognizer:
         else:
             arrays = {k: jnp.asarray(v) for k, v in batch.items()
                       if k != "ids"}
-        eos = self.cfg.vocab_size - 1
-
-        def clean(row, length):
-            return [int(t) for t in row[:length]
-                    if int(t) >= 0 and int(t) != eos]
-
         if self.mode in ("beam", "joint", "ctc_beam", "attn_rescore",
                          "transducer_beam", "transducer_rescore"):
             fn = {"ctc_beam": self._ctc_beam,
@@ -265,35 +301,43 @@ class Recognizer:
                   "transducer_rescore": self._transducer_rescore}.get(
                       self.mode, self._beam)
             out = fn(self.params, self.lm_params, arrays)
-            toks = np.asarray(out["tokens"])           # [B, W, L]
-            lens = np.asarray(out["lengths"])
-            scores = np.asarray(out["scores"])
+            return "beam", (out["tokens"], out["lengths"], out["scores"])
+        if self.mode == "greedy_ctc":
+            return "greedy", self._greedy_ctc(self.params, arrays)
+        if self.mode == "transducer_greedy":
+            return "greedy", self._transducer(self.params, arrays)
+        toks, lens = self._cif(self.params, arrays)
+        return "greedy", (toks, lens, None, None)
+
+    def _finalize(self, kind: str, fetched: tuple) -> list[list[dict]]:
+        """Host post-processing of fetched outputs -> per-utterance
+        n-best [{'yseq': [ids], 'score': float[, 'times', 'confidence']}]."""
+        eos = self.cfg.vocab_size - 1
+
+        def clean(row, length):
+            return [int(t) for t in row[:length]
+                    if int(t) >= 0 and int(t) != eos]
+
+        if kind == "beam":
+            toks, lens, scores = fetched                       # [B, W, L]
             nbest = min(self.beam.nbest, toks.shape[1]) or 1
             return [[{"yseq": clean(toks[i, w], lens[i, w]),
                       "score": float(scores[i, w])}
                      for w in range(nbest)]
                     for i in range(toks.shape[0])]
-        confs = None
-        if self.mode == "greedy_ctc":
-            toks, lens, times, confs = self._greedy_ctc(self.params, arrays)
-        elif self.mode == "transducer_greedy":
-            toks, lens, times, confs = self._transducer(self.params, arrays)
-        else:
-            toks, lens = self._cif(self.params, arrays)
-            times = None
-        toks, lens = np.asarray(toks), np.asarray(lens)
+        toks, lens, times, confs = fetched
         out = []
         for i in range(toks.shape[0]):
             hyp = {"yseq": clean(toks[i], lens[i]), "score": 0.0}
             if times is not None:
                 # emission encoder-frame per kept token (same filtering
                 # as clean: drop pads and the reserved eos id)
-                row, tr = toks[i], np.asarray(times)[i]
+                row, tr = toks[i], times[i]
                 keep = [j for j in range(int(lens[i]))
                         if int(row[j]) >= 0 and int(row[j]) != eos]
                 hyp["times"] = [int(tr[j]) for j in keep]
                 if confs is not None:
-                    cr = np.asarray(confs)[i]
+                    cr = confs[i]
                     hyp["confidence"] = [round(float(cr[j]), 4)
                                          for j in keep]
             out.append([hyp])

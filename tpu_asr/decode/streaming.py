@@ -135,7 +135,9 @@ class StreamingCTCRecognizer:
                 self.params, jnp.asarray(self._buf[:, : self.max_frames]),
                 self._n)
             sl = slice(self._emitted_enc, upto)
-            return np.asarray(ids[sl]), np.asarray(probs[sl])
+            # one grouped fetch (each per-array fetch is a full tunnel
+            # round trip, ~23 ms on axon — r5)
+            return jax.device_get((ids[sl], probs[sl]))
         chunk = self.cfg.enc_chunk_size
         el = self._enc_len(self._n)
         stride = self.cfg.conv_total_stride
@@ -147,8 +149,9 @@ class StreamingCTCRecognizer:
             ids, probs, self._caches = self._chunk_ids(
                 self.params, window, k, el, self._caches)
             take = min(chunk, upto - k * chunk)
-            got.append(np.asarray(ids[:take]))
-            got_p.append(np.asarray(probs[:take]))
+            gi, gp = jax.device_get((ids[:take], probs[:take]))
+            got.append(gi)
+            got_p.append(gp)
             self._chunks_done += 1
         if not got:
             return np.zeros(0, np.int64), np.zeros(0, np.float32)
@@ -736,19 +739,21 @@ class StreamingTransducerRecognizer:
 
     @property
     def hypothesis(self) -> list[int]:
-        toks = np.asarray(self._tstate["tokens"][0])
-        return [int(x) for x in toks[: int(self._tstate["u"][0])]]
+        toks, u = jax.device_get(
+            (self._tstate["tokens"][0], self._tstate["u"][0]))
+        return [int(x) for x in toks[: int(u)]]
 
     @property
     def hypothesis_times(self) -> list[int]:
         """Per-token emission encoder-frame indices (multiply by the conv
         stride x 10 ms for seconds)."""
-        times = np.asarray(self._tstate["times"][0])
-        return [int(x) for x in times[: int(self._tstate["u"][0])]]
+        times, u = jax.device_get(
+            (self._tstate["times"][0], self._tstate["u"][0]))
+        return [int(x) for x in times[: int(u)]]
 
     @property
     def hypothesis_confidence(self) -> list[float]:
         """Per-token emission probability (softmax of the emitted token)."""
-        confs = np.asarray(self._tstate["confs"][0])
-        return [round(float(x), 4)
-                for x in confs[: int(self._tstate["u"][0])]]
+        confs, u = jax.device_get(
+            (self._tstate["confs"][0], self._tstate["u"][0]))
+        return [round(float(x), 4) for x in confs[: int(u)]]
