@@ -120,16 +120,18 @@ def main():
             logits, el, safe = align_batch(arrays)
             starts, ends = ctc_viterbi_align(
                 logits, safe, el, arrays["target_lengths"])
-            starts, ends = np.asarray(starts), np.asarray(ends)
-            tl = np.asarray(arrays["target_lengths"])
+            # one grouped fetch per batch (per-array np.asarray costs a
+            # full host<->device round trip each — r5)
+            starts, ends, tl, tgt = jax.device_get(
+                (starts, ends, arrays["target_lengths"],
+                 arrays["targets"]))
             for i, uid in enumerate(batch["ids"]):
                 if uid is None:
                     continue
                 ul = int(tl[i])
                 rec = {
                     "id": uid,
-                    "tokens": [int(x) for x in
-                               np.asarray(arrays["targets"])[i, :ul]],
+                    "tokens": [int(x) for x in tgt[i, :ul]],
                     "start_frames": [int(x) for x in starts[i, :ul]],
                     "end_frames": [int(x) for x in ends[i, :ul]],
                     "start_s": [round(float(x) * sec, 3)

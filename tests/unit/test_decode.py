@@ -363,3 +363,44 @@ def test_greedy_ctc_emission_times():
         got = [(int(toks[b, j]), int(times[b, j])) for j in range(n[b])]
         assert got == want, (b, got, want)
         assert np.all(times[b, n[b]:] == -1)
+
+
+@pytest.mark.parametrize("mode", ["joint", "greedy_ctc"])
+def test_pipelined_decode_equals_per_batch(mode):
+    """decode_batches_nbest (dispatch-ahead window + grouped output
+    fetches, the bin/recognize.py production path) must return exactly
+    the per-batch decode_batch_nbest results, in order, across mixed
+    bucket shapes and a window smaller than the batch count."""
+    from tpu_asr.decode.recognizer import Recognizer
+
+    rng = np.random.default_rng(11)
+    model = Transformer(CFG)
+    params = model.init(jax.random.PRNGKey(0),
+                        jnp.asarray(rng.standard_normal((2, 32, 8)),
+                                    jnp.float32),
+                        jnp.asarray([32, 20], jnp.int32),
+                        jnp.zeros((2, 4), jnp.int32),
+                        jnp.full((2,), 4, jnp.int32))
+    batches = []
+    for i, t in enumerate((32, 48, 32, 48, 32)):   # two bucket shapes
+        feats = (rng.standard_normal((2, t, 8)) * 2).astype(np.float32)
+        flens = np.asarray([t, t - 7 - i], np.int32)
+        batches.append({"feats": feats, "feat_lengths": flens,
+                        "ids": [f"u{i}a", f"u{i}b"]})
+
+    rec = Recognizer(cfg=CFG, params=params, mode=mode,
+                     beam=BeamConfig(beam=3, max_len=8, nbest=2,
+                                     ctc_weight=0.3))
+    ref = [rec.decode_batch_nbest(b) for b in batches]
+    got = rec.decode_batches_nbest(batches, window=2)
+
+    assert len(got) == len(ref)
+    for rb, gb in zip(ref, got):
+        assert len(gb) == len(rb)
+        for r, g in zip(rb, gb):
+            for hr, hg in zip(r, g):
+                assert hg["yseq"] == hr["yseq"]
+                np.testing.assert_allclose(hg["score"], hr["score"],
+                                           rtol=1e-6, atol=1e-6)
+                assert hg.get("times") == hr.get("times")
+                assert hg.get("confidence") == hr.get("confidence")
