@@ -1,4 +1,4 @@
-"""Batched attention beam search, fully compiled (lax.scan over positions).
+"""Batched attention beam search, fully compiled (early-exit while_loop).
 
 The reference's `Decoder.recognize_beam` (src/transformer/decoder.py) is a
 host-driven python loop: batch=1, one device round-trip per token per beam —
@@ -300,9 +300,27 @@ def attention_beam_search(
         ctc_state,
         lm_cache0,
     )
-    (y_prev, cache, scores, finished, lengths, tokens, ctc_state,
-     _lm_cache), _ = (
-        jax.lax.scan(step, carry0, jnp.arange(cfg.max_len)))
+    # Early-exit while loop instead of a fixed-length scan: once every
+    # hypothesis in the batch is finished (decoder emitted eos, or
+    # maxlenratio forced it), each further step is output-neutral — the
+    # eos slot continues at zero cost, tokens stay eos-padded, lengths
+    # and prefix states are kept — so exiting is exact (final ordering is
+    # restored by the argsort below).  lax.scan lowers to the same HLO
+    # While, so the only added per-step cost is the all(finished) reduce
+    # in the condition; the win on trained models is large (utterances
+    # finish at ~1/3 of max_len on AISHELL-shaped decodes).
+    def _cond(state):
+        pos, carry = state
+        return (pos < cfg.max_len) & ~jnp.all(carry[3])
+
+    def _body(state):
+        pos, carry = state
+        carry, _ = step(carry, pos)
+        return pos + 1, carry
+
+    _, (y_prev, cache, scores, finished, lengths, tokens, ctc_state,
+        _lm_cache) = jax.lax.while_loop(
+            _cond, _body, (jnp.int32(0), carry0))
 
     # Unfinished hyps at max_len: keep accumulated score (reference appends
     # eos at maxlen); optional per-token length reward.
