@@ -102,8 +102,22 @@ def cif_beam_decode(
         jnp.where(jnp.arange(w)[None, :] == 0, 0.0, neg_inf), (b, 1))
     carry0 = (jnp.full((n,), sos, jnp.int32), cache, scores0,
               jnp.full((b, w, max_len), eos, jnp.int32))
-    (_, _, scores, tokens), _ = jax.lax.scan(
-        step, carry0, jnp.arange(max_len))
+    # Early exit once pos passes every utterance's fire count: CIF emits
+    # exactly n_fire tokens, so later steps only write eos into positions
+    # the valid_pos mask below discards — exiting is exact.
+    n_fire_max = jnp.max(n_fire)
+
+    def _cond(state):
+        pos, _ = state
+        return pos < jnp.minimum(n_fire_max + 1, max_len)
+
+    def _body(state):
+        pos, carry = state
+        carry, _ = step(carry, pos)
+        return pos + 1, carry
+
+    _, (_, _, scores, tokens) = jax.lax.while_loop(
+        _cond, _body, (jnp.int32(0), carry0))
     best = jnp.argmax(scores, axis=1)
     toks = jnp.take_along_axis(tokens, best[:, None, None], axis=1)[:, 0]
     valid_pos = make_valid_mask(n_fire, max_len)
@@ -144,9 +158,26 @@ def cif_greedy_decode(
         tok = jnp.argmax(logits, axis=-1).astype(jnp.int32)
         return (tok, cache), tok
 
-    (_, _), toks = jax.lax.scan(
-        step, (jnp.full((b,), sos, jnp.int32), cache), jnp.arange(max_len))
-    toks = jnp.moveaxis(toks, 0, 1)                        # [B, max_len]
+    # Early-exit while loop (see cif_beam_decode): positions at/after each
+    # row's n_fire are masked below, so once pos passes max(n_fire) the
+    # remaining steps could only write masked positions. The token buffer
+    # is eos-initialized, matching what the eos-forced tail steps of the
+    # full-length scan would have produced.
+    n_fire_max = jnp.max(n_fire)
+    toks0 = jnp.full((b, max_len), eos, jnp.int32)
+
+    def _cond(state):
+        pos, _, _, _ = state
+        return pos < jnp.minimum(n_fire_max + 1, max_len)
+
+    def _body(state):
+        pos, y_prev, cache, toks = state
+        (y_prev, cache), tok = step((y_prev, cache), pos)
+        return pos + 1, y_prev, cache, toks.at[:, pos].set(tok)
+
+    _, _, _, toks = jax.lax.while_loop(
+        _cond, _body,
+        (jnp.int32(0), jnp.full((b,), sos, jnp.int32), cache, toks0))
     # mask positions at/after the fire count or after an emitted eos
     valid_pos = make_valid_mask(n_fire, max_len)
     is_eos = toks == eos
